@@ -1,0 +1,201 @@
+"""Ground truth, recall and oracle recall.
+
+Reference parity: ``src/recall.h``.
+
+- :func:`compute_ground_truth` — brute-force exact kNN of the queries in the
+  full base set (``recall.h:10-39``). On TPU this is one giant blocked
+  matmul + running top-k; it runs at HIGHEST matmul precision because ties
+  and epsilon comparisons feed the recall definition.
+- :func:`kth_neighbor_distance` / :func:`verify_ground_truth` — the
+  reference *verifies* downloaded GT files by recomputing distances and
+  counting mismatches at 10 tolerance levels, re-sorting when needed
+  (``recall.h:74-137``).
+- :func:`recall_from_candidate_distances` — recall@k counts returned points
+  with ``dist <= d_k(q)`` (distance-threshold definition, handles ties;
+  ``recall.h:139-150``).
+- :func:`oracle_recall` — best-possible probe order computed from ground
+  truth: probe shards in decreasing number of GT neighbors they contain
+  (``recall.h:41-68``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from gpann_tpu.core.distances import Metric, chunked_topk_neighbors
+from gpann_tpu.core.partition import Cover, Partition
+
+
+def compute_ground_truth(
+    base: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    metric: Metric = "l2",
+    query_block: int = 4096,
+    block_rows: int = 262144,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN ids+distances of each query (reference ComputeGroundTruth)."""
+    import jax
+
+    dists, ids = chunked_topk_neighbors(
+        queries,
+        base,
+        k,
+        metric=metric,
+        query_block=query_block,
+        block_rows=block_rows,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return ids.astype(np.int32), dists.astype(np.float32)
+
+
+def kth_neighbor_distance(gt_dists: np.ndarray, k: int) -> np.ndarray:
+    """Distance to the k-th ground-truth neighbor, per query (recall.h:30-39)."""
+    if gt_dists.shape[1] < k:
+        raise ValueError(f"ground truth has only {gt_dists.shape[1]} < k={k} columns")
+    return gt_dists[:, k - 1].astype(np.float32)
+
+
+def verify_ground_truth(
+    base: np.ndarray,
+    queries: np.ndarray,
+    gt_ids: np.ndarray,
+    gt_dists: np.ndarray,
+    metric: Metric = "l2",
+    verbose: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Recompute the distances of published GT ids and repair ordering.
+
+    Mirrors ``ConvertGroundTruthToDistanceToKthNeighbor`` (recall.h:74-137):
+    distances are recomputed from the vectors, mismatches counted at 10
+    tolerance levels, and each row re-sorted by recomputed distance.
+    Returns (sorted ids, sorted recomputed dists).
+    """
+    from gpann_tpu.core.distances import pairwise_distances
+    import jax
+    import jax.numpy as jnp
+
+    nq, k = gt_ids.shape
+    recomputed = np.empty((nq, k), dtype=np.float32)
+    block = 2048
+    for s in range(0, nq, block):
+        q = jnp.asarray(queries[s : s + block])
+        cand = jnp.asarray(base[gt_ids[s : s + block].reshape(-1)]).reshape(
+            q.shape[0], k, -1
+        )
+        if metric == "mips":
+            d = 1.0 - jnp.einsum(
+                "qd,qkd->qk", q, cand, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            d = jnp.sum(
+                (q[:, None, :] - cand) ** 2, axis=-1
+            )
+        recomputed[s : s + block] = np.asarray(d, dtype=np.float32)
+
+    if not np.all(np.isnan(gt_dists)):
+        for i, eps in enumerate(10.0 ** -np.arange(1, 11)):
+            mism = int((np.abs(recomputed - gt_dists) > eps).sum())
+            if verbose:
+                print(f"eps=1e-{i+1}: {mism} mismatches")
+
+    order = np.argsort(recomputed, axis=1, kind="stable")
+    return (
+        np.take_along_axis(gt_ids, order, axis=1),
+        np.take_along_axis(recomputed, order, axis=1),
+    )
+
+
+def recall_from_candidate_distances(
+    cand_dists: np.ndarray, kth_dist: np.ndarray, k: int, eps: float = 1e-6
+) -> float:
+    """recall@k with the distance-threshold definition (recall.h:139-150).
+
+    ``cand_dists`` [nq, >=k] are distances of the returned candidates (may
+    contain inf padding); a candidate is a hit if its distance is within
+    ``d_k(q) + eps``. At most k hits per query are counted.
+    """
+    hits = (cand_dists <= (kth_dist[:, None] + eps)).sum(axis=1)
+    return float(np.minimum(hits, k).sum()) / (k * len(kth_dist))
+
+
+def recall_from_hit_counts(hit_counts: np.ndarray, k: int) -> float:
+    return float(np.minimum(hit_counts, k).sum()) / (k * len(hit_counts))
+
+
+def gt_shard_counts(
+    gt_ids: np.ndarray, partition: Optional[Partition] = None,
+    cover: Optional[Cover] = None, num_shards: Optional[int] = None,
+) -> np.ndarray:
+    """[nq, num_shards] — how many GT neighbors of each query live in each
+    shard. With a cover (overlap) a neighbor counts in *every* shard holding
+    it (matches OracleRecall's first-come-dedup upper bound when probing)."""
+    nq, k = gt_ids.shape
+    if partition is not None:
+        s = num_shards or int(partition.max()) + 1
+        counts = np.zeros((nq, s), dtype=np.int32)
+        shard_of = partition[gt_ids]  # [nq, k]
+        for j in range(k):
+            np.add.at(counts, (np.arange(nq), shard_of[:, j]), 1)
+        return counts
+    assert cover is not None
+    s = num_shards or int(max((c.max() for c in cover if len(c)), default=-1)) + 1
+    counts = np.zeros((nq, s), dtype=np.int32)
+    for q in range(nq):
+        for neigh in gt_ids[q]:
+            for shard in cover[neigh]:
+                counts[q, shard] += 1
+    return counts
+
+
+def oracle_recall(
+    gt_ids: np.ndarray,
+    partition: Optional[Partition] = None,
+    cover: Optional[Cover] = None,
+    num_shards: Optional[int] = None,
+) -> np.ndarray:
+    """Best-possible cumulative recall per #probes (recall.h:41-68).
+
+    Probe shards in decreasing GT-neighbor count per query; with overlap each
+    neighbor is counted once (cover handling mirrors oracle_recall.cpp:10-38's
+    dedup across probes). Returns [num_shards] cumulative recall@k curve.
+    """
+    nq, k = gt_ids.shape
+    if cover is None:
+        counts = gt_shard_counts(gt_ids, partition=partition, num_shards=num_shards)
+        sorted_counts = -np.sort(-counts, axis=1)
+        cum = np.cumsum(sorted_counts, axis=1)
+        return cum.sum(axis=0) / (k * nq)
+    # overlap: greedy max-coverage per query (neighbors dedup across probes)
+    s = num_shards or int(max((c.max() for c in cover if len(c)), default=-1)) + 1
+    total = np.zeros(s, dtype=np.int64)
+    for q in range(nq):
+        shard_members = [[] for _ in range(s)]
+        for j, neigh in enumerate(gt_ids[q]):
+            for shard in cover[neigh]:
+                shard_members[shard].append(j)
+        covered = np.zeros(k, dtype=bool)
+        remaining = [set(m) for m in shard_members]
+        for probe in range(s):
+            best = max(range(s), key=lambda b: len(remaining[b]))
+            got = remaining[best]
+            covered[list(got)] = True
+            total[probe] += int(covered.sum())
+            for b in range(s):
+                remaining[b] -= got
+            remaining[best] = set()
+    return total / (k * nq)
+
+
+def max_first_shard_routing_recall(
+    gt_ids: np.ndarray, probe_orders: Sequence[np.ndarray],
+    partition: Partition,
+) -> float:
+    """Fraction of GT neighbors captured by the first probed shard
+    (reference MaxFirstShardRoutingRecall, routes.cpp:11-31)."""
+    counts = gt_shard_counts(gt_ids, partition=partition)
+    k = gt_ids.shape[1]
+    first = np.asarray([po[0] for po in probe_orders])
+    return float(counts[np.arange(len(first)), first].sum()) / (k * len(first))

@@ -1,0 +1,70 @@
+"""Cluster-layer tests: Lloyd vs oracle behavior, balance property tests."""
+
+import numpy as np
+import pytest
+
+from gpann_tpu.cluster import balanced_kmeans, kmeans, objective_value, random_sample
+
+
+def make_blobs(rng, n=600, k=6, d=8, spread=0.05):
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 3
+    assign = rng.integers(0, k, size=n)
+    pts = centers[assign] + spread * rng.standard_normal((n, d)).astype(np.float32)
+    return pts.astype(np.float32), centers, assign
+
+
+def test_random_sample_seeded(rng):
+    pts = rng.standard_normal((50, 4)).astype(np.float32)
+    a = random_sample(pts, 10, seed=1)
+    b = random_sample(pts, 10, seed=1)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (10, 4)
+
+
+def test_kmeans_recovers_blobs(rng):
+    pts, centers, true_assign = make_blobs(rng)
+    cents, assign = kmeans(pts, k=6, seed=3)
+    # points in the same true blob should share a cluster (allow tiny noise)
+    agree = 0
+    for b in range(6):
+        members = assign[true_assign == b]
+        if len(members):
+            agree += (members == np.bincount(members).argmax()).mean() > 0.95
+    assert agree >= 5
+
+
+def test_kmeans_objective_decreases(rng):
+    pts = rng.standard_normal((300, 6)).astype(np.float32)
+    init = random_sample(pts, 8, seed=5)
+    c1, a1 = kmeans(pts, centroids=init, rounds=1)
+    c20, a20 = kmeans(pts, centroids=init, rounds=20)
+    assert objective_value(pts, c20, a20) <= objective_value(pts, c1, a1) + 1e-3
+
+
+def test_kmeans_mips_centroids_normalized(rng):
+    pts = rng.standard_normal((200, 8)).astype(np.float32)
+    cents, _ = kmeans(pts, k=4, metric="mips")
+    np.testing.assert_allclose((cents**2).sum(1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.parametrize("eps", [0.05, 0.2])
+def test_balanced_kmeans_balance_property(rng, eps):
+    # skewed blobs: balance must be enforced against natural cluster sizes
+    big = rng.standard_normal((400, 6)).astype(np.float32) * 0.1
+    small = rng.standard_normal((80, 6)).astype(np.float32) * 0.1 + 5.0
+    pts = np.concatenate([big, small])
+    k = 6
+    cents, assign = balanced_kmeans(pts, k=k, eps=eps, seed=7)
+    max_size = int((1 + eps) * np.ceil(len(pts) / k))
+    sizes = np.bincount(assign, minlength=k)
+    assert sizes.max() <= max_size, sizes
+    assert assign.shape == (480,)
+
+
+def test_balanced_kmeans_quality_not_much_worse(rng):
+    pts, _, _ = make_blobs(rng, n=600, k=6)
+    c_free, a_free = kmeans(pts, k=6, seed=9)
+    c_bal, a_bal = balanced_kmeans(pts, k=6, eps=0.3, seed=9)
+    free = objective_value(pts, c_free, a_free)
+    bal = objective_value(pts, c_bal, a_bal)
+    assert bal <= max(free * 3.0, free + 1.0)
