@@ -55,13 +55,13 @@ def random_sample(points: np.ndarray, k: int, seed: int = 555) -> np.ndarray:
     return np.asarray(points[np.sort(idx)], dtype=np.float32)
 
 
-def _aggregate(points, assignment, k, metric, prev_centroids):
-    """Mean of members per cluster; empty clusters keep previous centroid.
-    Returns (centroids [k,d], sizes [k])."""
-    sums = jax.ops.segment_sum(points, assignment, num_segments=k)
-    sizes = jax.ops.segment_sum(
-        jnp.ones(points.shape[0], jnp.float32), assignment, num_segments=k
-    )
+def _aggregate(points, assignment, k, metric, prev_centroids, weights=None):
+    """(Weighted) mean of members per cluster; empty clusters keep previous
+    centroid. Returns (centroids [k,d], sizes [k])."""
+    if weights is None:
+        weights = jnp.ones(points.shape[0], jnp.float32)
+    sums = jax.ops.segment_sum(points * weights[:, None], assignment, num_segments=k)
+    sizes = jax.ops.segment_sum(weights, assignment, num_segments=k)
     means = sums / jnp.maximum(sizes, 1.0)[:, None]
     if metric == "mips":
         # spherical: scale centroids to unit-ish norm (kmeans.cpp:85-99 uses
@@ -73,12 +73,14 @@ def _aggregate(points, assignment, k, metric, prev_centroids):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "rounds"))
-def _lloyd(points, init_centroids, k: int, metric: Metric, rounds: int):
+def _lloyd(points, init_centroids, k: int, metric: Metric, rounds: int,
+           weights=None):
     def body(carry, _):
         centroids = carry
         dm = pairwise_distances(points, centroids, metric)
         assignment = jnp.argmin(dm, axis=1)
-        centroids, sizes = _aggregate(points, assignment, k, metric, centroids)
+        centroids, sizes = _aggregate(points, assignment, k, metric, centroids,
+                                      weights)
         return centroids, None
 
     centroids, _ = jax.lax.scan(body, init_centroids, None, length=rounds)
@@ -98,20 +100,26 @@ def kmeans(
     metric: Metric = "l2",
     rounds: int = DEFAULT_ROUNDS,
     seed: int = 555,
+    weights: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lloyd k-means (reference KMeans, kmeans.cpp:228-244).
 
+    ``weights`` (optional, [n] float) weight the centroid aggregation;
+    zero-weight rows are shape padding that never influences centroids.
     Returns (centroids [k,d] float32, assignment [n] int32).
     """
     points = np.ascontiguousarray(points, dtype=np.float32)
     if centroids is None:
         if k is None:
             raise ValueError("pass either centroids or k")
-        centroids = random_sample(points, k, seed)
+        sample_pool = points if weights is None else points[weights > 0]
+        centroids = random_sample(sample_pool, k, seed)
     k = centroids.shape[0]
     if k == 0 or points.shape[0] == 0:
         return np.asarray(centroids, np.float32), np.zeros(points.shape[0], np.int32)
-    c, a, _ = _lloyd(jnp.asarray(points), jnp.asarray(centroids, jnp.float32), k, metric, rounds)
+    w = None if weights is None else jnp.asarray(weights, jnp.float32)
+    c, a, _ = _lloyd(jnp.asarray(points), jnp.asarray(centroids, jnp.float32), k,
+                     metric, rounds, w)
     return np.asarray(c), np.asarray(a)
 
 

@@ -26,6 +26,17 @@ Metric = str  # "l2" | "mips"
 
 _METRICS = ("l2", "mips")
 
+# Default matmul precision for distance kernels: 3-pass bfloat16 on the MXU.
+# Plain bf16 (None/DEFAULT) loses ~7 of 8 distance bits to catastrophic
+# cancellation in |q|^2+|x|^2-2qx and ruins neighbor rankings (measured
+# recall@10 0.59 vs 1.0 on clustered data); HIGH restores ~2^-16 relative
+# accuracy at a small fraction of bf16-scan cost and is within noise of exact
+# after candidate rescoring (see gpann_tpu/search/ivf.py).
+def default_precision():
+    import jax
+
+    return jax.lax.Precision.HIGH
+
 
 def _check_metric(metric: Metric) -> None:
     if metric not in _METRICS:
@@ -56,6 +67,8 @@ def pairwise_distances(
     ``distance()`` dispatch (``src/dist.cpp:75-81``).
     """
     _check_metric(metric)
+    if precision is None:
+        precision = default_precision()
     dots = jnp.dot(
         queries, base.T, preferred_element_type=jnp.float32, precision=precision
     )
@@ -102,6 +115,8 @@ def topk_neighbors(
     ``ComputeGroundTruth`` recall.h:10-39).
     """
     _check_metric(metric)
+    if precision is None:
+        precision = default_precision()
     m = queries.shape[0]
     n, d = base.shape
     if n <= block_rows:

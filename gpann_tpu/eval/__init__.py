@@ -12,6 +12,7 @@ from gpann_tpu.eval.recall import (
     oracle_recall,
     recall_from_candidate_distances,
     recall_from_hit_counts,
+    recall_from_ids,
     verify_ground_truth,
 )
 

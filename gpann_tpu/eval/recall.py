@@ -109,20 +109,80 @@ def verify_ground_truth(
 
 
 def recall_from_candidate_distances(
-    cand_dists: np.ndarray, kth_dist: np.ndarray, k: int, eps: float = 1e-6
+    cand_dists: np.ndarray, kth_dist: np.ndarray, k: int,
+    eps: float = 1e-5, rel_eps: float = 1e-4,
 ) -> float:
     """recall@k with the distance-threshold definition (recall.h:139-150).
 
     ``cand_dists`` [nq, >=k] are distances of the returned candidates (may
     contain inf padding); a candidate is a hit if its distance is within
-    ``d_k(q) + eps``. At most k hits per query are counted.
+    ``d_k(q) + eps + rel_eps*|d_k|``. The relative term absorbs f32
+    summation-order noise between the GT path and search kernels (the
+    reference's single distance function made them bit-identical; our GT and
+    kernels use different but equally exact groupings). At most k hits per
+    query are counted.
     """
-    hits = (cand_dists <= (kth_dist[:, None] + eps)).sum(axis=1)
+    thresh = kth_dist[:, None] + eps + rel_eps * np.abs(kth_dist[:, None])
+    hits = (cand_dists <= thresh).sum(axis=1)
     return float(np.minimum(hits, k).sum()) / (k * len(kth_dist))
 
 
 def recall_from_hit_counts(hit_counts: np.ndarray, k: int) -> float:
     return float(np.minimum(hit_counts, k).sum()) / (k * len(hit_counts))
+
+
+def recall_from_ids(
+    base: np.ndarray,
+    queries: np.ndarray,
+    cand_ids: np.ndarray,
+    kth_dist: np.ndarray,
+    k: int,
+    metric: Metric = "l2",
+    eps: float = 1e-5,
+) -> float:
+    """recall@k with candidate distances *recomputed exactly* from ids.
+
+    Search kernels may run at bf16 matmul precision; recomputing the
+    candidates' distances at full precision keeps the distance-threshold
+    recall definition (recall.h:139-150) unbiased regardless of the search
+    path's precision. ``cand_ids`` may contain -1 padding.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m, c = cand_ids.shape
+    safe_ids = np.where(cand_ids < 0, 0, cand_ids)
+    out = np.empty((m, c), dtype=np.float32)
+    block = 2048
+    for s in range(0, m, block):
+        q = jnp.asarray(queries[s : s + block])
+        cand = jnp.asarray(base[safe_ids[s : s + block].reshape(-1)]).reshape(
+            q.shape[0], c, -1
+        )
+        if metric == "mips":
+            d = 1.0 - jnp.einsum(
+                "qd,qkd->qk", q, cand, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            d = jnp.sum((q[:, None, :] - cand) ** 2, axis=-1)
+        out[s : s + block] = np.asarray(d, np.float32)
+    out = np.where(cand_ids < 0, np.inf, out)
+    # dedup ids per query so overlapping shards can't double-count a point
+    sort = np.argsort(out, axis=1, kind="stable")
+    sorted_ids = np.take_along_axis(cand_ids, sort, axis=1)
+    sorted_d = np.take_along_axis(out, sort, axis=1)
+    dup = np.zeros_like(sorted_d, dtype=bool)
+    for q in range(m):
+        seen: set = set()
+        for j, pid in enumerate(sorted_ids[q]):
+            if pid < 0:
+                continue
+            if int(pid) in seen:
+                dup[q, j] = True
+            else:
+                seen.add(int(pid))
+    sorted_d = np.where(dup, np.inf, sorted_d)
+    return recall_from_candidate_distances(sorted_d, kth_dist, k, eps=eps)
 
 
 def gt_shard_counts(
