@@ -1,0 +1,121 @@
+"""Headline benchmark: per-chip QPS at recall@10 >= 0.95 on a synthetic
+clustered 1M x 96 dataset (DEEP-like shape), 16 shards.
+
+Pipeline measured (the reference's SmallScaleQueries configuration, C19):
+balanced k-means partition -> k-means-tree router (extracted points, flat
+MXU scan) -> grouped probed IVF search (HIGH-precision scan + exact rescore).
+The probe count is the smallest reaching recall@10 >= 0.95; QPS is measured
+end-to-end (routing + search) on the device with median-of-reps timing.
+
+``vs_baseline`` = measured QPS / brute-force full-scan QPS on the same chip —
+the throughput multiple the partitioned GP-ANN design buys over exact
+scanning at (near-)equal recall, which is the reference system's raison
+d'être. The reference publishes no absolute numbers (BASELINE.md): its C++
+stack does not run on TPU hardware, so the full-scan oracle is the honest
+same-hardware baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N, D, NQ, SHARDS, K = 1_000_000, 96, 4096, 16, 10
+TARGET_RECALL = 0.95
+SEED = 555
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from gpann_tpu.cluster import balanced_kmeans
+    from gpann_tpu.core.partition import partition_to_clusters
+    from gpann_tpu.core.timer import time_fn
+    from gpann_tpu.core.distances import topk_neighbors
+    from gpann_tpu.eval import (
+        compute_ground_truth,
+        kth_neighbor_distance,
+        recall_from_ids,
+    )
+    from gpann_tpu.route import FlatRouter, KMeansTreeRouter, KMeansTreeRouterOptions
+    from gpann_tpu.search import IVFIndex
+
+    rng = np.random.default_rng(SEED)
+    num_blobs = 64
+    centers = rng.standard_normal((num_blobs, D)).astype(np.float32) * 2.0
+    lbl = rng.integers(0, num_blobs, size=N)
+    pts = (centers[lbl] + 0.6 * rng.standard_normal((N, D))).astype(np.float32)
+    q = (
+        centers[rng.integers(0, num_blobs, size=NQ)]
+        + 0.6 * rng.standard_normal((NQ, D))
+    ).astype(np.float32)
+    print(f"# data ready: {pts.shape}", file=sys.stderr)
+
+    gt_ids, gt_dists = compute_ground_truth(pts, q, K, query_block=1024)
+    kth = kth_neighbor_distance(gt_dists, K)
+    print("# ground truth done", file=sys.stderr)
+
+    t0 = time.time()
+    _, assign = balanced_kmeans(pts, k=SHARDS, eps=0.05, seed=SEED)
+    clusters = partition_to_clusters(assign, SHARDS)
+    build_time = time.time() - t0
+    print(f"# partition done in {build_time:.1f}s", file=sys.stderr)
+
+    ivf = IVFIndex(pts, clusters)
+    opts = KMeansTreeRouterOptions(num_centroids=32, budget=20_000)
+    kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=SEED)
+    rp, labels = kmtr.extract_points()
+    router = FlatRouter(rp, labels, num_shards=SHARDS)
+    print(f"# router ready ({len(rp)} routing points)", file=sys.stderr)
+
+    def serve(queries, nprobes):
+        order = router.query(queries, num_voting_neighbors=60, rule="min_dist")
+        probes = order[:, :nprobes]
+        return ivf.search_probed_grouped(queries, probes, K)
+
+    chosen = None
+    for nprobes in range(1, SHARDS + 1):
+        _, ii = serve(q, nprobes)
+        rec = recall_from_ids(pts, q, ii, kth, K)
+        print(f"# nprobes={nprobes} recall={rec:.4f}", file=sys.stderr)
+        if rec >= TARGET_RECALL:
+            chosen = (nprobes, rec)
+            break
+    if chosen is None:
+        chosen = (SHARDS, rec)
+    nprobes, recall = chosen
+
+    lat, _ = time_fn(serve, q, nprobes, reps=5, warmup=2)
+    qps = NQ / lat
+
+    # brute-force full-scan baseline at equal (exact) recall on the same chip
+    qj, pj = jnp.asarray(q), jnp.asarray(pts)
+    brute_lat, _ = time_fn(
+        lambda: topk_neighbors(qj, pj, K), reps=3, warmup=1
+    )
+    brute_qps = NQ / brute_lat
+
+    print(
+        json.dumps(
+            {
+                "metric": f"qps_per_chip@recall{TARGET_RECALL}_synthetic-deep1M",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / brute_qps, 3),
+                "recall_at_10": round(recall, 4),
+                "nprobes": nprobes,
+                "num_shards": SHARDS,
+                "brute_force_qps": round(brute_qps, 1),
+                "batch": NQ,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,3 +16,33 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes.
+
+    The TPU backend in this environment takes 20-75s per kernel compile; the
+    pipeline CLIs are multi-process (reference L7 orchestration pattern), so
+    a persistent cache is a large end-to-end win. Opt out with
+    GPANN_TPU_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("GPANN_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = os.environ.get(
+                "GPANN_TPU_COMPILE_CACHE_DIR",
+                os.path.expanduser("~/.cache/gpann_tpu/jax_cache"),
+            )
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization; never fail import
+        pass
+
+
+_enable_compilation_cache()

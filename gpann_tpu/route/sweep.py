@@ -1,0 +1,131 @@
+"""Routing-config sweep driver.
+
+Reference parity: ``IterateRoutingConfigs`` (routes.cpp:130-311): for each
+router size budget, train the k-means-tree router, run tree routing +
+frequency-voting sweeps, extract its points into the flat (HNSW-role) router
+and run all four probe rules x voting-neighbor sweeps, plus the Random
+routing baseline (routes.cpp:269-285).
+
+Grids mirror the reference: voting neighbors {20..500} (routes.cpp:36,229);
+the budget grid is a parameter (reference uses {20k..10M}, routes.cpp:130,
+with the main driver picking n/requested_shards,
+run_query_attribution.cpp:68-69).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from gpann_tpu.core.distances import Metric
+from gpann_tpu.core.partition import Clusters
+from gpann_tpu.core.timer import time_fn
+from gpann_tpu.eval.combination import RoutingConfig
+from gpann_tpu.route.flat import (
+    FlatRouter,
+    rank_frequency,
+    rank_min_dist,
+    rank_pyramid,
+    rank_spann,
+)
+from gpann_tpu.route.kmeans_tree import KMeansTreeRouter, KMeansTreeRouterOptions
+
+VOTING_NEIGHBORS = (20, 40, 80, 120, 250, 500)  # routes.cpp:36,229
+HNSW_RULES = ("min_dist", "pyramid", "spann", "frequency")
+
+
+def iterate_routing_configs(
+    points: np.ndarray,
+    queries: np.ndarray,
+    clusters: Clusters,
+    budgets: Sequence[int],
+    metric: Metric = "l2",
+    seed: int = 555,
+    num_centroids: int = 64,
+    min_cluster_size: int = 350,
+    voting_neighbors: Sequence[int] = VOTING_NEIGHBORS,
+    include_random: bool = True,
+    timing_reps: int = 3,
+) -> List[RoutingConfig]:
+    num_shards = len(clusters)
+    out: List[RoutingConfig] = []
+
+    for budget in budgets:
+        opts = KMeansTreeRouterOptions(
+            num_centroids=num_centroids,
+            min_cluster_size=min_cluster_size,
+            budget=int(budget),
+        )
+        router = KMeansTreeRouter(metric=metric).train(points, clusters, opts,
+                                                       seed=seed)
+        rp, labels = router.extract_points()
+        index_bytes = rp.nbytes + labels.nbytes
+        flat = router.flat
+
+        # tree-routing analog: min-dist over all extracted centroids
+        t, probes = time_fn(router.query, queries, reps=timing_reps)
+        out.append(
+            RoutingConfig(
+                index_trainer="KMeansTree",
+                routing_algorithm="min_dist",
+                hnsw_num_voting_neighbors=0,
+                routing_time=t,
+                index_size_bytes=index_bytes,
+                routing_index_options={"budget": int(budget)},
+                buckets_to_probe=np.asarray(probes, np.int32),
+            )
+        )
+        # frequency voting sweep (routes.cpp:218-243)
+        for v in voting_neighbors:
+            if v > len(flat):
+                continue
+            t, probes = time_fn(router.frequency_query, queries, v,
+                                reps=timing_reps)
+            out.append(
+                RoutingConfig(
+                    index_trainer="KMeansTree",
+                    routing_algorithm="frequency",
+                    hnsw_num_voting_neighbors=v,
+                    routing_time=t,
+                    index_size_bytes=index_bytes,
+                    routing_index_options={"budget": int(budget)},
+                    buckets_to_probe=np.asarray(probes, np.int32),
+                )
+            )
+        # flat (HNSW-role) router: 4 rules x voting sweep (routes.cpp:33-118)
+        for rule in HNSW_RULES:
+            for v in voting_neighbors:
+                if v > len(flat):
+                    continue
+                t, probes = time_fn(
+                    flat.query, queries, v, rule, reps=timing_reps
+                )
+                out.append(
+                    RoutingConfig(
+                        index_trainer="Flat",
+                        routing_algorithm=rule,
+                        hnsw_num_voting_neighbors=v,
+                        routing_time=t,
+                        index_size_bytes=index_bytes,
+                        routing_index_options={"budget": int(budget)},
+                        # pyramid/spann rules cut lists short: no extra shards
+                        try_increasing_num_shards=rule not in ("pyramid", "spann"),
+                        buckets_to_probe=np.asarray(probes, np.int32),
+                    )
+                )
+
+    if include_random:  # routes.cpp:269-285
+        rng = np.random.default_rng(seed)
+        probes = np.stack(
+            [rng.permutation(num_shards) for _ in range(len(queries))]
+        ).astype(np.int32)
+        out.append(
+            RoutingConfig(
+                index_trainer="None",
+                routing_algorithm="Random",
+                routing_time=0.0,
+                buckets_to_probe=probes,
+            )
+        )
+    return out

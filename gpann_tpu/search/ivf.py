@@ -228,6 +228,14 @@ class IVFIndex:
         self.shard_sizes = jnp.asarray(sizes)
         self.shard_ids = jnp.asarray(ids)
         self.sizes_np = sizes
+        # overlap detection: dedup across probes is only needed when some
+        # point belongs to more than one cluster
+        all_ids = (
+            np.concatenate([np.asarray(c) for c in clusters if len(c)])
+            if any(len(c) for c in clusters)
+            else np.empty(0, np.int32)
+        )
+        self.overlapping = len(np.unique(all_ids)) < len(all_ids)
 
     # -- evaluation path ----------------------------------------------------
     def search_all_shards(
@@ -270,40 +278,57 @@ class IVFIndex:
         probes: np.ndarray,
         k: int,
         query_block: int = 256,
+        dedup: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Grouped path: compute only probed (query, shard) pairs.
 
-        Host groups query indices by probed shard (the ragged part), pads each
-        shard's list to a multiple of ``query_block``, and a single jitted
-        scan computes the padded blocks. Results are merged per query.
+        Bucketing and the final merge are fully vectorized: the (query, shard)
+        probe pairs are sorted by shard, padded into fixed [query_block]
+        blocks, scanned in one jitted call, and scattered back into a
+        [m, nprobes*k] candidate table merged by one sort. Id dedup across
+        probes (only possible with overlapping clusters) runs only when the
+        index was built from an overlapping clustering.
         """
         queries = np.asarray(queries, dtype=np.float32)
         m, nprobes = probes.shape
-        blocks_q: list[np.ndarray] = []
-        block_shard: list[int] = []
-        block_members: list[np.ndarray] = []
-        for b in range(self.num_shards):
-            qidx = np.nonzero((probes == b).any(axis=1))[0]
-            if len(qidx) == 0:
-                continue
-            padded_len = _round_up(len(qidx), query_block)
-            padded = np.zeros(padded_len, dtype=np.int64)
-            padded[: len(qidx)] = qidx
-            for s in range(0, padded_len, query_block):
-                chunk = padded[s : s + query_block]
-                blocks_q.append(queries[chunk])
-                block_shard.append(b)
-                real = min(len(qidx) - s, query_block)
-                block_members.append(qidx[s : s + real] if real > 0 else qidx[:0])
+        dedup = self.overlapping if dedup is None else dedup
 
-        if not blocks_q:
+        # flatten (query, shard) pairs, drop -1 pads, sort by shard
+        flat_q = np.repeat(np.arange(m, dtype=np.int64), nprobes)
+        flat_slot = np.tile(np.arange(nprobes, dtype=np.int64), m)
+        flat_b = probes.reshape(-1).astype(np.int64)
+        keep = flat_b >= 0
+        flat_q, flat_slot, flat_b = flat_q[keep], flat_slot[keep], flat_b[keep]
+        order = np.argsort(flat_b, kind="stable")
+        flat_q, flat_slot, flat_b = flat_q[order], flat_slot[order], flat_b[order]
+        if len(flat_q) == 0:
             return (
                 np.full((m, k), np.inf, np.float32),
                 np.full((m, k), -1, np.int32),
             )
+
+        # pad each shard's run to a multiple of query_block (vectorized):
+        counts = np.bincount(flat_b, minlength=self.num_shards)
+        padded_counts = -(-counts // query_block) * query_block
+        total = int(padded_counts.sum())
+        starts = np.concatenate([[0], np.cumsum(padded_counts)])[:-1]
+        run_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        # position of each pair within the padded layout
+        pos = starts[flat_b] + (np.arange(len(flat_b)) - run_starts[flat_b])
+        pair_q = np.zeros(total, dtype=np.int64)  # padding points at query 0
+        pair_q[pos] = flat_q
+        valid = np.zeros(total, dtype=bool)
+        valid[pos] = True
+
+        nb = total // query_block
+        q_blocks = queries[pair_q].reshape(nb, query_block, -1)
+        block_shard = np.repeat(
+            np.arange(self.num_shards, dtype=np.int32),
+            (padded_counts // query_block),
+        )
         d, i = _scan_query_blocks(
-            jnp.asarray(np.stack(blocks_q)),
-            jnp.asarray(np.asarray(block_shard, np.int32)),
+            jnp.asarray(q_blocks),
+            jnp.asarray(block_shard),
             self.shard_points,
             self.shard_sizes,
             self.shard_ids,
@@ -312,23 +337,33 @@ class IVFIndex:
             self.precision,
             self.rescore,
         )
-        d, i = np.asarray(d), np.asarray(i)
-        # host merge: per query, gather candidates from its probed blocks
-        out_d = np.full((m, nprobes * k), np.inf, dtype=np.float32)
-        out_i = np.full((m, nprobes * k), -1, dtype=np.int32)
-        fill = np.zeros(m, dtype=np.int32)
-        for blk, members in enumerate(block_members):
-            if len(members) == 0:
-                continue
-            pos = fill[members]
-            for col in range(k):
-                out_d[members, pos + col] = d[blk, : len(members), col]
-                out_i[members, pos + col] = i[blk, : len(members), col]
-            fill[members] += k
-        order = np.argsort(out_d, axis=1, kind="stable")[:, :k]
+        d = np.asarray(d).reshape(total, k)
+        i = np.asarray(i).reshape(total, k)
+
+        # scatter into the per-query candidate table (one fancy index)
+        out_d = np.full((m, nprobes, k), np.inf, dtype=np.float32)
+        out_i = np.full((m, nprobes, k), -1, dtype=np.int32)
+        out_d[flat_q, flat_slot] = d[pos]
+        out_i[flat_q, flat_slot] = i[pos]
+        out_d = out_d.reshape(m, nprobes * k)
+        out_i = out_i.reshape(m, nprobes * k)
+        if dedup:
+            # mask duplicate ids (overlapping shards may return one point twice)
+            sort = np.argsort(out_i, axis=1, kind="stable")
+            sorted_i = np.take_along_axis(out_i, sort, axis=1)
+            dup_sorted = np.zeros_like(sorted_i, dtype=bool)
+            dup_sorted[:, 1:] = (sorted_i[:, 1:] == sorted_i[:, :-1]) & (
+                sorted_i[:, 1:] >= 0
+            )
+            dup = np.zeros_like(dup_sorted)
+            np.put_along_axis(dup, sort, dup_sorted, axis=1)
+            # keep the closest occurrence: duplicates share distance; masking
+            # all-but-one by sorted order is id-stable
+            out_d = np.where(dup, np.inf, out_d)
+        sel = np.argsort(out_d, axis=1, kind="stable")[:, :k]
         return (
-            np.take_along_axis(out_d, order, axis=1),
-            np.take_along_axis(out_i, order, axis=1),
+            np.take_along_axis(out_d, sel, axis=1),
+            np.take_along_axis(out_i, sel, axis=1),
         )
 
 

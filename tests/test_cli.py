@@ -1,0 +1,118 @@
+"""End-to-end CLI integration tests on tiny synthetic data (CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gpann_tpu.core import read_clusters, write_points
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(555)
+    centers = rng.standard_normal((6, 12)).astype(np.float32) * 4
+    lbl = rng.integers(0, 6, size=1500)
+    pts = (centers[lbl] + 0.4 * rng.standard_normal((1500, 12))).astype(np.float32)
+    q = (centers[rng.integers(0, 6, size=20)]
+         + 0.4 * rng.standard_normal((20, 12))).astype(np.float32)
+    write_points(str(tmp / "base.fbin"), pts)
+    write_points(str(tmp / "queries.fbin"), q)
+    return tmp
+
+
+def test_partition_cli(data):
+    from gpann_tpu.cli.partition import main
+
+    rc = main([str(data / "base.fbin"), str(data / "part"), "4", "BalancedKMeans"])
+    assert rc == 0
+    clusters = read_clusters(str(data / "part.k=4.BalancedKMeans"))
+    assert len(clusters) == 4
+    assert sum(len(c) for c in clusters) == 1500
+
+
+def test_small_scale_queries_cli(data):
+    from gpann_tpu.cli.small_scale_queries import main
+
+    part = str(data / "part.k=4.BalancedKMeans")
+    if not os.path.exists(part):
+        test_partition_cli(data)
+    rc = main([
+        str(data / "base.fbin"), str(data / "queries.fbin"),
+        str(data / "gt.bin"), "10", part, str(data / "out.csv"),
+        "BalancedKMeans",
+    ])
+    assert rc == 0
+    lines = open(data / "out.csv").read().strip().split("\n")
+    assert lines[0].startswith("partitioning,routing")
+    # max-probes rows must reach recall 1.0
+    final = [l for l in lines[1:] if l.split(",")[3] == "4"]
+    assert all(float(l.split(",")[-1]) == 1.0 for l in final), final
+
+
+def test_query_attribution_and_convert_cli(data):
+    from gpann_tpu.cli.convert import main as convert_main
+    from gpann_tpu.cli.query_attribution import main as qa_main
+
+    part = str(data / "part.k=4.BalancedKMeans")
+    if not os.path.exists(part):
+        test_partition_cli(data)
+    rc = qa_main([
+        str(data / "base.fbin"), str(data / "queries.fbin"),
+        str(data / "gt.bin"), "10", part, "4", str(data / "qa"),
+        "BalancedKMeans",
+    ])
+    assert rc == 0
+    assert os.path.exists(data / "qa.routes")
+    assert os.path.exists(data / "qa.searches")
+    pareto = open(data / "qa.pareto").read().strip().split("\n")
+    assert len(pareto) >= 2
+    best_recall = max(float(l.split(",")[8]) for l in pareto[1:])
+    assert best_recall == 1.0
+
+    rc = convert_main([
+        str(data / "qa.routes"), str(data / "qa.searches"), "4", "4", "10",
+        str(data / "qa2"), "BalancedKMeans",
+    ])
+    assert rc == 0
+    # re-analysis reproduces the same recall column values
+    a = sorted(open(data / "qa.csv").read().strip().split("\n")[1:])
+    b = sorted(open(data / "qa2.csv").read().strip().split("\n")[1:])
+    assert [r.split(",")[8] for r in a] == [r.split(",")[8] for r in b]
+
+
+def test_oracle_recall_cli(data):
+    from gpann_tpu.cli.oracle_recall import main
+
+    part = str(data / "part.k=4.BalancedKMeans")
+    if not (os.path.exists(part) and os.path.exists(data / "qa.routes")):
+        test_query_attribution_and_convert_cli(data)
+    rc = main([
+        str(data / "gt.bin"), str(data / "qa.routes"), "10", part,
+        "BalancedKMeans", str(data / "oracle.csv"),
+    ])
+    assert rc == 0
+    lines = open(data / "oracle.csv").read().strip().split("\n")
+    oracle_rows = [l for l in lines[1:] if l.endswith(",oracle")]
+    assert len(oracle_rows) == 4
+    # oracle curve reaches 1.0 at full probes
+    assert float(oracle_rows[-1].split(",")[2]) == 1.0
+
+
+def test_analyze_approximation_losses_cli(data):
+    from gpann_tpu.cli.analyze_approximation_losses import main
+
+    part = str(data / "part.k=4.BalancedKMeans")
+    if not os.path.exists(part):
+        test_partition_cli(data)
+    rc = main([
+        str(data / "base.fbin"), str(data / "queries.fbin"),
+        str(data / "gt.bin"), "10", part, "BalancedKMeans",
+        str(data / "losses.csv"),
+    ])
+    assert rc == 0
+    lines = open(data / "losses.csv").read().strip().split("\n")
+    types = {l.split(",")[-1] for l in lines[1:]}
+    assert types == {"brute-force-routing", "kmeans-tree-sample",
+                     "uniform-sample", "single-center"}

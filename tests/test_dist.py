@@ -1,0 +1,96 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from gpann_tpu.cluster import balanced_kmeans
+from gpann_tpu.core.partition import partition_to_clusters
+from gpann_tpu.dist import DistributedIVF, shard_mesh, sharded_lloyd_round
+from gpann_tpu.eval import compute_ground_truth, kth_neighbor_distance, recall_from_ids
+from gpann_tpu.search import IVFIndex
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(555)
+    kb, d, n, nq = 8, 16, 4096, 64
+    centers = rng.standard_normal((kb, d)).astype(np.float32) * 4
+    lbl = rng.integers(0, kb, size=n)
+    pts = (centers[lbl] + 0.4 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (centers[rng.integers(0, kb, size=nq)]
+         + 0.4 * rng.standard_normal((nq, d))).astype(np.float32)
+    _, assign = balanced_kmeans(pts, k=8, eps=0.3, seed=1)
+    clusters = partition_to_clusters(assign, 8)
+    return pts, q, clusters
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_matches_single_chip(setup):
+    pts, q, clusters = setup
+    divf = DistributedIVF(pts, clusters, mesh=shard_mesh(dp=1))
+    ivf = IVFIndex(pts, clusters)
+    probes = np.tile(np.arange(8), (len(q), 1))[:, :3]
+    dd, di = divf.search_probed(q, probes, 10)
+    sd, si = ivf.search_probed(q, probes, 10)
+    np.testing.assert_allclose(dd, sd, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(di, si)
+
+
+def test_distributed_dp_axis(setup):
+    pts, q, clusters = setup
+    divf = DistributedIVF(pts, clusters, mesh=shard_mesh(dp=2))
+    ivf = IVFIndex(pts, clusters)
+    probes = np.tile(np.arange(8), (len(q), 1))
+    dd, di = divf.search_probed(q, probes, 10)
+    sd, si = ivf.search_probed(q, probes, 10)
+    np.testing.assert_allclose(dd, sd, rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_full_probe_recall(setup):
+    pts, q, clusters = setup
+    gt_ids, gt_dists = compute_ground_truth(pts, q, 10)
+    kth = kth_neighbor_distance(gt_dists, 10)
+    divf = DistributedIVF(pts, clusters)
+    probes = np.tile(np.arange(8), (len(q), 1))
+    _, di = divf.search_probed(q, probes, 10)
+    assert recall_from_ids(pts, q, di, kth, 10) == 1.0
+
+
+def test_shard_count_not_multiple_of_devices(setup):
+    pts, q, clusters = setup
+    # 5 shards on 8 devices: padding with empty shards must be transparent
+    clusters5 = [np.concatenate([clusters[i], clusters[i + 5]]) if i < 3
+                 else clusters[i] for i in range(5)]
+    covered = np.concatenate(clusters5)
+    assert len(covered) == len(pts)
+    divf = DistributedIVF(pts, clusters5)
+    ivf = IVFIndex(pts, clusters5)
+    probes = np.tile(np.arange(5), (len(q), 1))
+    dd, di = divf.search_probed(q, probes, 10)
+    sd, si = ivf.search_probed(q, probes, 10)
+    np.testing.assert_allclose(dd, sd, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_lloyd_round_matches_single(setup):
+    pts, q, clusters = setup
+    mesh = shard_mesh(dp=2)
+    from gpann_tpu.cluster.kmeans import random_sample
+    import jax.numpy as jnp
+
+    cents = random_sample(pts, 8, seed=5)
+    step = sharded_lloyd_round(mesh, k=8)
+    new_c, assign = step(jnp.asarray(pts), jnp.asarray(cents))
+    # single-device oracle
+    from gpann_tpu.core.distances import pairwise_distances
+
+    dm = np.asarray(pairwise_distances(jnp.asarray(pts), jnp.asarray(cents)))
+    want_assign = dm.argmin(1)
+    np.testing.assert_array_equal(np.asarray(assign), want_assign)
+    sums = np.zeros((8, 16)); np.add.at(sums, want_assign, pts)
+    counts = np.bincount(want_assign, minlength=8)
+    want_c = sums / np.maximum(counts, 1)[:, None]
+    np.testing.assert_allclose(np.asarray(new_c), want_c, rtol=1e-3, atol=1e-3)
