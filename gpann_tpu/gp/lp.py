@@ -144,17 +144,34 @@ def _heaviest_neighbor(u, v, w, n, rng):
     return h
 
 
+def _csr_from_sorted_coo(u, v, n):
+    """CSR indptr for a COO edge list already sorted by u."""
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, u + 1, 1)
+    return np.cumsum(indptr)
+
+
 def coarsen_once(u, v, w, node_w, max_node_w, rng):
     """One mutual-matching contraction. Returns (mapping [n]->coarse id,
-    coarse u/v/w, coarse node weights)."""
+    coarse u/v/w, coarse node weights). Uses the native C++ matcher when
+    built (gpann_tpu/native/src/graph_ops.cc), NumPy otherwise."""
+    from gpann_tpu import native
+
     n = len(node_w)
-    h = _heaviest_neighbor(u, v, w, n, rng)
     idx = np.arange(n)
-    ok = (h >= 0) & (h[h.clip(min=0)] == idx)  # mutual
-    partner = np.where(ok, h, idx)
-    # avoid over-heavy contracted nodes
-    too_heavy = node_w + node_w[partner.clip(min=0)] > max_node_w
-    partner = np.where(too_heavy, idx, partner)
+    partner = None
+    if native.available():
+        indptr = _csr_from_sorted_coo(u, v, n)
+        partner = native.heavy_edge_matching(
+            indptr, v, w, node_w, max_node_w, rng.integers(2**62)
+        )
+    if partner is None:
+        h = _heaviest_neighbor(u, v, w, n, rng)
+        ok = (h >= 0) & (h[h.clip(min=0)] == idx)  # mutual
+        partner = np.where(ok, h, idx)
+        # avoid over-heavy contracted nodes
+        too_heavy = node_w + node_w[partner.clip(min=0)] > max_node_w
+        partner = np.where(too_heavy, idx, partner)
     rep = np.minimum(idx, partner)
     mapping = np.full(n, -1, dtype=np.int64)
     roots = rep == idx
@@ -177,8 +194,19 @@ def coarsen_once(u, v, w, node_w, max_node_w, rng):
 
 
 def _initial_partition(u, v, w, node_w, k, cap, rng):
-    """Greedy balanced region growing on the coarsest graph (host)."""
+    """Greedy balanced region growing on the coarsest graph (host).
+
+    Native C++ path when built; NumPy/Python fallback below."""
+    from gpann_tpu import native
+
     n = len(node_w)
+    if native.available():
+        indptr = _csr_from_sorted_coo(u, v, n)
+        part = native.bfs_grow_partition(
+            indptr, v, node_w, k, cap, rng.integers(2**62)
+        )
+        if part is not None and (part >= 0).all():
+            return part
     part = np.full(n, -1, dtype=np.int32)
     sizes = np.zeros(k, np.float64)
     # spread seeds: random start, then farthest-by-BFS-hops heuristic
@@ -239,8 +267,20 @@ def _initial_partition(u, v, w, node_w, k, cap, rng):
 
 
 def _force_balance(u, v, w, part, node_w, k, cap):
-    """Post-pass: move lowest-affinity nodes out of overweight parts."""
+    """Post-pass: move lowest-affinity nodes out of overweight parts.
+
+    Native C++ path when built; NumPy fallback below."""
+    from gpann_tpu import native
+
     n = len(part)
+    if native.available():
+        indptr = _csr_from_sorted_coo(u, v, n)
+        out = native.force_balance(indptr, v, w, node_w, k, cap, part)
+        if out is not None:
+            sizes = np.zeros(k)
+            np.add.at(sizes, out, node_w)
+            if sizes.max() <= cap + 1e-6:
+                return out
     sizes = np.zeros(k, np.float64)
     np.add.at(sizes, part, node_w)
     if (sizes <= cap).all():
