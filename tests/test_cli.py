@@ -116,3 +116,15 @@ def test_analyze_approximation_losses_cli(data):
     types = {l.split(",")[-1] for l in lines[1:]}
     assert types == {"brute-force-routing", "kmeans-tree-sample",
                      "uniform-sample", "single-center"}
+
+
+def test_distributed_bench_cli(data):
+    from gpann_tpu.cli.distributed_bench import main
+
+    part = str(data / "part.k=4.BalancedKMeans")
+    if not os.path.exists(part):
+        test_partition_cli(data)
+    rc = main([
+        str(data / "base.fbin"), str(data / "queries.fbin"), "10", part, "2",
+    ])
+    assert rc == 0

@@ -160,3 +160,41 @@ class TestRouters:
         np.testing.assert_array_equal(
             loaded.query(q, rule="min_dist"), router.query(q, rule="min_dist")
         )
+
+
+class TestMIPS:
+    def test_mips_end_to_end(self):
+        rng = np.random.default_rng(7)
+        pts = rng.standard_normal((2000, 12)).astype(np.float32)
+        q = rng.standard_normal((32, 12)).astype(np.float32)
+        from gpann_tpu.eval import compute_ground_truth, recall_from_ids
+        gt_ids, gt_dists = compute_ground_truth(pts, q, 10, metric="mips")
+        kth = kth_neighbor_distance(gt_dists, 10)
+        from gpann_tpu.cluster import balanced_kmeans
+        _, assign = balanced_kmeans(pts, k=4, eps=0.3, metric="mips", seed=2)
+        clusters = partition_to_clusters(assign, 4)
+        ivf = IVFIndex(pts, clusters, metric="mips")
+        probes = np.tile(np.arange(4), (len(q), 1))
+        _, ii = ivf.search_probed(q, probes, 10)
+        assert recall_from_ids(pts, q, ii, kth, 10, metric="mips") == 1.0
+        router = centroid_router(pts, clusters, metric="mips")
+        order = router.query(q, rule="min_dist")
+        assert order.shape == (32, 4)
+
+    def test_mips_serving_engine(self):
+        rng = np.random.default_rng(8)
+        pts = rng.standard_normal((1500, 10)).astype(np.float32)
+        q = rng.standard_normal((16, 10)).astype(np.float32)
+        from gpann_tpu.eval import compute_ground_truth, recall_from_ids
+        from gpann_tpu.search.serve import ServingEngine
+        gt_ids, gt_dists = compute_ground_truth(pts, q, 10, metric="mips")
+        kth = kth_neighbor_distance(gt_dists, 10)
+        from gpann_tpu.cluster import balanced_kmeans
+        _, assign = balanced_kmeans(pts, k=4, eps=0.3, metric="mips", seed=3)
+        clusters = partition_to_clusters(assign, 4)
+        router = centroid_router(pts, clusters, metric="mips")
+        engine = ServingEngine(pts, clusters, np.asarray(router.points),
+                               router.labels_np, metric="mips",
+                               pad_multiple=128)
+        _, fi = engine.serve(q, k=10, nprobes=4, voting_t=4, query_block=16)
+        assert recall_from_ids(pts, q, fi, kth, 10, metric="mips") == 1.0

@@ -1,0 +1,67 @@
+"""Fused serving engine tests: parity with the unfused reference paths."""
+
+import numpy as np
+import pytest
+
+from gpann_tpu.cluster import balanced_kmeans
+from gpann_tpu.core.partition import partition_to_clusters
+from gpann_tpu.eval import compute_ground_truth, kth_neighbor_distance, recall_from_ids
+from gpann_tpu.route import FlatRouter, centroid_router
+from gpann_tpu.search import IVFIndex
+from gpann_tpu.search.serve import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(555)
+    kb, d, n, nq = 8, 16, 4000, 64
+    centers = rng.standard_normal((kb, d)).astype(np.float32) * 4
+    lbl = rng.integers(0, kb, size=n)
+    pts = (centers[lbl] + 0.4 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (centers[rng.integers(0, kb, size=nq)]
+         + 0.4 * rng.standard_normal((nq, d))).astype(np.float32)
+    gt_ids, gt_dists = compute_ground_truth(pts, q, 10)
+    _, assign = balanced_kmeans(pts, k=8, eps=0.3, seed=1)
+    clusters = partition_to_clusters(assign, 8)
+    router = centroid_router(pts, clusters)
+    engine = ServingEngine(
+        pts, clusters,
+        np.asarray(router.points), router.labels_np,
+        pad_multiple=128,
+    )
+    return pts, q, gt_ids, gt_dists, clusters, router, engine
+
+
+def test_serve_matches_unfused_min_dist(setup):
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    ivf = IVFIndex(pts, clusters)
+    probes = router.query(q, num_voting_neighbors=8, rule="min_dist")[:, :3]
+    ud, ui = ivf.search_probed_grouped(q, probes, 10)
+    fd, fi = engine.serve(q, k=10, nprobes=3, voting_t=8, rule="min_dist",
+                          query_block=32)
+    np.testing.assert_allclose(fd, ud, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(fi, 1), np.sort(ui, 1))
+
+
+def test_serve_full_probes_exact(setup):
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    kth = kth_neighbor_distance(gt_dists, 10)
+    _, fi = engine.serve(q, k=10, nprobes=8, voting_t=8, query_block=32)
+    assert recall_from_ids(pts, q, fi, kth, 10) == 1.0
+
+
+@pytest.mark.parametrize("rule", ["pyramid", "spann", "frequency"])
+def test_serve_rules_run_and_recall(setup, rule):
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    kth = kth_neighbor_distance(gt_dists, 10)
+    _, fi = engine.serve(q, k=10, nprobes=4, voting_t=8, rule=rule,
+                         query_block=32)
+    rec = recall_from_ids(pts, q, fi, kth, 10)
+    assert rec > 0.8, (rule, rec)
+
+
+def test_serve_single_probe(setup):
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    fd, fi = engine.serve(q, k=10, nprobes=1, voting_t=8, query_block=32)
+    assert fd.shape == (len(q), 10)
+    assert (fi >= 0).all()  # every query got candidates from its first shard
