@@ -49,24 +49,41 @@ class ServingEngine:
         pad_multiple: int = 512,
         precision=None,
         rescore: bool = True,
+        scan_mode: str = "exact",
+        interpret: bool = False,
     ) -> None:
+        """``scan_mode``: "exact" = XLA top_k over the full distance tile
+        (exact in-shard top-k); "binned" = Pallas bin-top-2 kernel
+        (pallas_scan.py) — ~5x faster shard scans at recall@10 > 0.999."""
         self.metric: Metric = metric
         self.precision = default_precision() if precision is None else precision
         self.rescore = rescore
+        self.scan_mode = scan_mode
+        self.interpret = interpret
         self.num_shards = len(clusters)
         sizes = np.asarray([len(c) for c in clusters], np.int32)
+        if scan_mode == "binned":
+            from gpann_tpu.search.pallas_scan import BIN  # noqa: F401
+
+            pad_multiple = max(pad_multiple, 16384)  # tc granularity
         cap = _round_up(max(int(sizes.max()), 1), pad_multiple)
         self.capacity = cap
+        self.max_size = int(sizes.max())
         blocks = np.zeros((self.num_shards, cap, points.shape[1]), np.float32)
         ids = np.full((self.num_shards, cap), -1, np.int32)
+        bsq = np.full((self.num_shards, cap), np.inf, np.float32)
         for b, members in enumerate(clusters):
             members = np.asarray(members, np.int64)
             blocks[b, : len(members)] = points[members]
             ids[b, : len(members)] = members
+            bsq[b, : len(members)] = (
+                (points[members].astype(np.float64) ** 2).sum(1)
+            ).astype(np.float32)
         self.shard_points = jnp.asarray(blocks)
         # sizes with a trailing 0 entry: dummy shard id == num_shards
         self.shard_sizes_ext = jnp.asarray(np.concatenate([sizes, [0]]))
         self.shard_ids = jnp.asarray(ids)
+        self.shard_bsq = jnp.asarray(bsq)
         self.router_points = jnp.asarray(routing_points, jnp.float32)
         self.router_labels = jnp.asarray(routing_labels, jnp.int32)
         self._fns: dict = {}
@@ -78,8 +95,17 @@ class ServingEngine:
         metric, precision, rescore = self.metric, self.precision, self.rescore
         cap = self.capacity
 
+        scan_mode, interpret = self.scan_mode, self.interpret
+        if scan_mode == "binned":
+            from gpann_tpu.search.pallas_scan import BIN
+
+            # top-2 per bin caps the candidate pool; tiny shards can't fill
+            # k candidates from bins -> fall back to the exact scan
+            if 2 * (self.max_size // BIN + 1) < 4 * k:
+                scan_mode = "exact"
+
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
-                     router_points, router_labels):
+                     shard_bsq, router_points, router_labels):
             m = queries.shape[0]
             # ---- route ----
             rdots = jnp.dot(queries, router_points.T,
@@ -158,6 +184,22 @@ class ServingEngine:
                 blk = shard_points[jnp.minimum(b, s - 1)]
                 size = shard_sizes_ext[b]  # 0 for dummy shard s
                 bids = shard_ids[jnp.minimum(b, s - 1)]
+                if scan_mode == "binned":
+                    from gpann_tpu.search.pallas_scan import fused_topk
+
+                    bsq = shard_bsq[jnp.minimum(b, s - 1)]
+                    # dummy shard: poison via +inf norms (size==0)
+                    bsq = jnp.where(
+                        (jnp.arange(cap) < size), bsq, jnp.inf
+                    )
+                    tq_eff = min(qb, 128)
+                    if qb % tq_eff:
+                        raise ValueError(
+                            f"query_block={qb} must be a multiple of {tq_eff}"
+                        )
+                    d, pos2 = fused_topk(qs, blk, bsq, k, metric,
+                                         interpret=interpret, tq=tq_eff)
+                    return carry, (d, bids[pos2])
                 dots = jnp.dot(qs, blk.T, preferred_element_type=jnp.float32,
                                precision=precision)
                 if metric == "mips":
@@ -214,6 +256,7 @@ class ServingEngine:
             self.shard_points,
             self.shard_sizes_ext,
             self.shard_ids,
+            self.shard_bsq,
             self.router_points,
             self.router_labels,
         )

@@ -65,3 +65,39 @@ def test_serve_single_probe(setup):
     fd, fi = engine.serve(q, k=10, nprobes=1, voting_t=8, query_block=32)
     assert fd.shape == (len(q), 10)
     assert (fi >= 0).all()  # every query got candidates from its first shard
+
+
+def test_serve_binned_fallback_tiny_shards(setup):
+    # shards ~500 points -> too few 128-wide bins for k=10: binned mode must
+    # fall back to the exact scan and stay exact
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    kth = kth_neighbor_distance(gt_dists, 10)
+    binned = ServingEngine(
+        pts, clusters, np.asarray(router.points), router.labels_np,
+        pad_multiple=128, scan_mode="binned", interpret=True,
+    )
+    _, fi = binned.serve(q[:16], k=10, nprobes=8, voting_t=8, query_block=16)
+    rec = recall_from_ids(pts, q[:16], fi, kth[:16], 10)
+    assert rec == 1.0, rec
+
+
+def test_serve_binned_mode_large_shards():
+    # big enough shards (>=16k points after padding) use the pallas path
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((40_000, 16)).astype(np.float32)
+    q = rng.standard_normal((16, 16)).astype(np.float32)
+    from gpann_tpu.gp.partitioning import random_partition
+    from gpann_tpu.core.partition import partition_to_clusters as p2c
+
+    clusters = p2c(random_partition(len(pts), 2), 2)
+    router = centroid_router(pts, clusters)
+    kth = kth_neighbor_distance(
+        compute_ground_truth(pts, q, 10)[1], 10
+    )
+    binned = ServingEngine(
+        pts, clusters, np.asarray(router.points), router.labels_np,
+        scan_mode="binned", interpret=True,
+    )
+    _, fi = binned.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
+    rec = recall_from_ids(pts, q, fi, kth, 10)
+    assert rec > 0.97, rec
