@@ -11,5 +11,9 @@ from gpann_tpu.cluster.kmeans import (
     random_sample,
     rebalance_greedy,
 )
+from gpann_tpu.cluster.streaming import (
+    streaming_capacity_partition,
+    streaming_kmeans,
+)
 
 __all__ = [k for k in dir() if not k.startswith("_")]

@@ -1,0 +1,161 @@
+"""Streaming (out-of-HBM) clustering for 100M-1B point datasets.
+
+SURVEY.md §5.7: the reference handles scale by making each shard fit one
+machine and by blocked aggregation (``kmeans.cpp:151-204``). On TPU, the
+dataset may exceed HBM (1B x 96 f32 = 384 GB): these routines stream
+host-resident (memmap-able) points through the device in fixed-size chunks.
+
+- :func:`streaming_kmeans` — Lloyd with device-side per-chunk assignment +
+  segment sums, host-side accumulation across chunks. Arbitrarily large n;
+  HBM holds one chunk + centroids.
+- :func:`streaming_capacity_partition` — balanced partition at scale:
+  streaming Lloyd warm start, then distance-priority capacity-constrained
+  assignment per chunk with global per-part budgets (the Pyramid assignment
+  rule, partitioning.cpp:305-356, applied to centroids) — a scalable stand-in
+  for BalancedKMeans when points exceed device memory.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpann_tpu.core.distances import Metric, pairwise_distances
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _chunk_stats(chunk, centroids, k: int, metric: Metric):
+    dm = pairwise_distances(chunk, centroids, metric)
+    assign = jnp.argmin(dm, axis=1)
+    sums = jax.ops.segment_sum(chunk, assign, num_segments=k)
+    counts = jax.ops.segment_sum(
+        jnp.ones(chunk.shape[0], jnp.float32), assign, num_segments=k
+    )
+    return sums, counts, assign.astype(jnp.int32)
+
+
+def streaming_kmeans(
+    points,                      # array-like / np.memmap [n, d]
+    k: int,
+    rounds: int = 10,
+    chunk_rows: int = 1 << 20,
+    metric: Metric = "l2",
+    seed: int = 555,
+    init: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lloyd k-means over host-resident points. Returns (centroids, assignment)."""
+    n, d = points.shape
+    rng = np.random.default_rng(seed)
+    if init is None:
+        idx = np.sort(rng.choice(n, size=min(k, n), replace=False))
+        init = np.asarray(points[idx], np.float32)
+    centroids = jnp.asarray(init, jnp.float32)
+    # pad chunking to fixed shapes: the final partial chunk is padded with
+    # repeats of its last row and its stats are corrected on host
+    for _ in range(rounds):
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.float64)
+        for s in range(0, n, chunk_rows):
+            chunk = np.asarray(points[s : s + chunk_rows], np.float32)
+            real = len(chunk)
+            if real < chunk_rows and n > chunk_rows:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], chunk_rows - real, axis=0)]
+                )
+            cs, cc, _ = _chunk_stats(jnp.asarray(chunk), centroids, k, metric)
+            cs, cc = np.asarray(cs, np.float64), np.asarray(cc, np.float64)
+            if real < len(chunk):
+                # subtract the padded repeats' contribution
+                pad = len(chunk) - real
+                last = chunk[-1]
+                dm_last = np.asarray(
+                    pairwise_distances(
+                        jnp.asarray(last[None]), centroids, metric
+                    )
+                )
+                c_last = int(dm_last.argmin())
+                cs[c_last] -= pad * last.astype(np.float64)
+                cc[c_last] -= pad
+            sums += cs
+            counts += cc
+        new_c = np.where(
+            counts[:, None] > 0, sums / np.maximum(counts, 1)[:, None],
+            np.asarray(centroids, np.float64),
+        ).astype(np.float32)
+        if metric == "mips":
+            norms = np.sqrt(np.maximum((new_c ** 2).sum(1), 1e-12))
+            new_c = new_c / norms[:, None]
+        centroids = jnp.asarray(new_c)
+
+    assignment = np.empty(n, np.int32)
+    for s in range(0, n, chunk_rows):
+        chunk = np.asarray(points[s : s + chunk_rows], np.float32)
+        real = len(chunk)
+        if real < chunk_rows and n > chunk_rows:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], chunk_rows - real, axis=0)]
+            )
+        _, _, a = _chunk_stats(jnp.asarray(chunk), centroids, k, metric)
+        assignment[s : s + real] = np.asarray(a)[:real]
+    return np.asarray(centroids), assignment
+
+
+def streaming_capacity_partition(
+    points,
+    k: int,
+    eps: float = 0.05,
+    rounds: int = 10,
+    chunk_rows: int = 1 << 20,
+    metric: Metric = "l2",
+    seed: int = 555,
+) -> np.ndarray:
+    """Balanced partition for out-of-memory datasets.
+
+    Streaming Lloyd, then per-chunk distance-priority admission under global
+    per-part budgets; unadmitted points spill to their nearest part with
+    room. Guarantees max part size <= (1+eps)*ceil(n/k).
+    """
+    n, d = points.shape
+    centroids, _ = streaming_kmeans(
+        points, k, rounds=rounds, chunk_rows=chunk_rows, metric=metric,
+        seed=seed,
+    )
+    cap = int((1.0 + eps) * np.ceil(n / k))
+    room = np.full(k, cap, np.int64)
+    part = np.full(n, -1, np.int32)
+    cj = jnp.asarray(centroids)
+
+    def admit(global_ids: np.ndarray, dm: np.ndarray) -> np.ndarray:
+        """Vectorized distance-priority admission under per-part room;
+        returns the ids that could not be placed in their nearest open part."""
+        target = np.where(room[None, :] > 0, dm, np.inf).argmin(axis=1)
+        d_best = dm[np.arange(len(dm)), target]
+        prio = np.argsort(d_best, kind="stable")
+        t_prio = target[prio]
+        by_t = np.argsort(t_prio, kind="stable")
+        final = prio[by_t]
+        t_fin = target[final]
+        within = np.arange(len(final)) - np.searchsorted(t_fin, t_fin)
+        ok = within < room[t_fin]
+        part[global_ids[final[ok]]] = t_fin[ok]
+        np.subtract.at(room, t_fin[ok], 1)
+        return global_ids[final[~ok]]
+
+    leftovers = []
+    for s in range(0, n, chunk_rows):
+        chunk = np.asarray(points[s : s + chunk_rows], np.float32)
+        dm = np.asarray(pairwise_distances(jnp.asarray(chunk), cj, metric))
+        rest = admit(np.arange(s, s + len(chunk)), dm)
+        leftovers.append(rest)
+    rest = np.concatenate(leftovers) if leftovers else np.empty(0, np.int64)
+    # retry rounds: only parts with room remain eligible; total capacity
+    # k*cap >= n guarantees termination
+    while len(rest):
+        chunk = np.asarray(points[rest], np.float32)
+        dm = np.asarray(pairwise_distances(jnp.asarray(chunk), cj, metric))
+        rest = admit(rest, dm)
+    return part

@@ -12,6 +12,7 @@ from gpann_tpu.core.distances import (
     pairwise_distances,
     pos_distance_offset,
     sq_norms,
+    streaming_topk_neighbors,
     topk_neighbors,
 )
 from gpann_tpu.core.pointset import (
@@ -38,5 +39,6 @@ from gpann_tpu.core.metis_io import (
     write_metis_partition,
 )
 from gpann_tpu.core.timer import Timer
+from gpann_tpu.core.profiling import StageTimer, flops_of_scan, trace
 
 __all__ = [k for k in dir() if not k.startswith("_")]

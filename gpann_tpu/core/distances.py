@@ -181,6 +181,46 @@ def assign_closest(
     return jnp.take_along_axis(dm, idx[:, None], axis=1)[:, 0], idx
 
 
+def streaming_topk_neighbors(
+    queries,
+    base,                     # array-like / np.memmap [n, d], host-resident
+    k: int,
+    metric: Metric = "l2",
+    base_chunk: int = 1 << 21,
+    query_block: int = 8192,
+    precision=None,
+):
+    """Exact top-k when the base exceeds device memory.
+
+    Streams host-resident base chunks through the device (one upload each)
+    and merges per-chunk top-k on host — the 1B-scale ground-truth/scan path
+    (SURVEY.md §5.7: host-RAM offload, blocked aggregation). Returns numpy
+    (dists [m,k], ids [m,k]).
+    """
+    import numpy as _np
+
+    n = base.shape[0]
+    m = queries.shape[0]
+    best_d = _np.full((m, k), _np.inf, _np.float32)
+    best_i = _np.full((m, k), -1, _np.int64)
+    for s in range(0, n, base_chunk):
+        blk = _np.asarray(base[s : s + base_chunk], _np.float32)
+        d, i = chunked_topk_neighbors(
+            queries, blk, min(k, len(blk)), metric=metric,
+            query_block=query_block, precision=precision,
+        )
+        if d.shape[1] < k:
+            d = _np.pad(d, ((0, 0), (0, k - d.shape[1])),
+                        constant_values=_np.inf)
+            i = _np.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
+        cat_d = _np.concatenate([best_d, d], axis=1)
+        cat_i = _np.concatenate([best_i, i.astype(_np.int64) + s], axis=1)
+        sel = _np.argsort(cat_d, axis=1, kind="stable")[:, :k]
+        best_d = _np.take_along_axis(cat_d, sel, axis=1)
+        best_i = _np.take_along_axis(cat_i, sel, axis=1)
+    return best_d, best_i
+
+
 def chunked_topk_neighbors(
     queries,
     base,

@@ -1,0 +1,56 @@
+"""Streaming (out-of-HBM) paths: memmap-backed k-means, capacity partition,
+streaming top-k — results must match the in-memory implementations."""
+
+import numpy as np
+
+from gpann_tpu.cluster.streaming import (
+    streaming_capacity_partition,
+    streaming_kmeans,
+)
+from gpann_tpu.core.distances import streaming_topk_neighbors, chunked_topk_neighbors
+from gpann_tpu.core.partition import max_part_size
+
+
+def make_memmap(tmp_path, rng, n=5000, d=8):
+    path = str(tmp_path / "pts.dat")
+    pts = (rng.standard_normal((n, d)) * 2).astype(np.float32)
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(n, d))
+    mm[:] = pts
+    mm.flush()
+    return np.memmap(path, dtype=np.float32, mode="r", shape=(n, d)), pts
+
+
+def test_streaming_kmeans_matches_inmemory(tmp_path, rng):
+    mm, pts = make_memmap(tmp_path, rng)
+    c_stream, a_stream = streaming_kmeans(mm, 8, rounds=5, chunk_rows=1024,
+                                          seed=3)
+    c_mem, a_mem = streaming_kmeans(pts, 8, rounds=5, chunk_rows=10_000,
+                                    seed=3)
+    # same seed, same math -> same centroids regardless of chunking
+    np.testing.assert_allclose(c_stream, c_mem, rtol=1e-4, atol=1e-4)
+    assert (a_stream == a_mem).mean() > 0.999
+
+
+def test_streaming_capacity_partition_balance(tmp_path, rng):
+    mm, pts = make_memmap(tmp_path, rng, n=4000)
+    part = streaming_capacity_partition(mm, 8, eps=0.05, rounds=4,
+                                        chunk_rows=512, seed=4)
+    assert (part >= 0).all()
+    sizes = np.bincount(part, minlength=8)
+    assert sizes.sum() == 4000
+    assert sizes.max() <= max_part_size(4000, 8, 0.05)
+
+
+def test_streaming_topk_matches_chunked(tmp_path, rng):
+    mm, pts = make_memmap(tmp_path, rng, n=3000, d=12)
+    q = rng.standard_normal((40, 12)).astype(np.float32)
+    sd, si = streaming_topk_neighbors(q, mm, 10, base_chunk=700)
+    cd, ci = chunked_topk_neighbors(q, pts, 10)
+    np.testing.assert_allclose(sd, cd, rtol=1e-4, atol=1e-4)
+    # ids may differ on exact ties only
+    dm = ((q[:, None] - pts[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.take_along_axis(dm, si, axis=1),
+        np.take_along_axis(dm, ci.astype(np.int64), axis=1),
+        rtol=1e-3, atol=1e-3,
+    )
