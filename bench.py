@@ -3,7 +3,9 @@ clustered 1M x 96 dataset (DEEP-like shape), 16 shards.
 
 Pipeline measured (the reference's SmallScaleQueries configuration, C19):
 balanced k-means partition -> k-means-tree router (extracted points, flat
-MXU scan) -> grouped probed IVF search (HIGH-precision scan + exact rescore).
+MXU scan) -> fused serving engine with the Pallas bin-top-2 scan kernel
+(route + group + scan + merge in one XLA program; exact f32 candidate
+rescore).
 The probe count is the smallest reaching recall@10 >= 0.95; QPS is measured
 end-to-end (routing + search) on the device with median-of-reps timing.
 
@@ -71,7 +73,7 @@ def main() -> int:
 
     from gpann_tpu.search.serve import ServingEngine
 
-    engine = ServingEngine(pts, clusters, rp, labels)
+    engine = ServingEngine(pts, clusters, rp, labels, scan_mode="binned")
     q_dev = jnp.asarray(q)  # queries resident on device (one upload)
 
     def serve(queries, nprobes):
@@ -92,12 +94,28 @@ def main() -> int:
     lat, _ = time_fn(serve, q_dev, nprobes, reps=5, warmup=2)
     qps = NQ / lat
 
-    # brute-force full-scan baseline at equal (exact) recall on the same chip
-    qj, pj = jnp.asarray(q), jnp.asarray(pts)
-    brute_lat, _ = time_fn(
-        lambda: topk_neighbors(qj, pj, K), reps=3, warmup=1
-    )
+    # brute-force full-scan baseline on the same chip, using the SAME scan
+    # technology (Pallas bin-top-2 kernel over the whole base) so vs_baseline
+    # isolates the partitioning/routing advantage, not kernel quality
+    try:
+        from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
+
+        padded, bsq = pad_base_for_scan(pts, "l2")
+        pj, bsqj = jnp.asarray(padded), jnp.asarray(bsq)
+        brute_lat, (_, bi) = time_fn(
+            lambda: fused_topk(q_dev, pj, bsqj, K), reps=3, warmup=1
+        )
+        brute_recall = recall_from_ids(pts, q, np.asarray(bi), kth, K)
+    except Exception as e:  # pallas unavailable: XLA top_k fallback
+        print(f"# pallas brute failed ({e}); XLA fallback", file=sys.stderr)
+        pj = jnp.asarray(pts)
+        brute_lat, _ = time_fn(
+            lambda: topk_neighbors(q_dev, pj, K), reps=3, warmup=1
+        )
+        brute_recall = 1.0
     brute_qps = NQ / brute_lat
+    print(f"# brute: {brute_qps:.0f} qps recall={brute_recall:.4f}",
+          file=sys.stderr)
 
     print(
         json.dumps(

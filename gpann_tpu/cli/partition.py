@@ -2,7 +2,11 @@
 
 Usage:
     python -m gpann_tpu.cli.partition \
-        <points.fbin> <output_prefix> <num_clusters> <method> [overlap] [metric] [size]
+        <points.fbin> <output_prefix> <num_clusters> <method> \
+        [overlap] [metric] [size] [default|strong]
+
+``strong`` selects the reference's strong graph-builder preset
+(FANOUT=5, REPETITIONS=5; partition.cpp argv[5], partitioning.cpp:253-257).
 
 Methods (vocabulary parity with ``partition.cpp:91-137``):
     GP, Pyramid, OurPyramid, KMeans, BalancedKMeans, FlatKMeans, RKM, Random,
@@ -25,12 +29,13 @@ from gpann_tpu.core.partition import partition_to_clusters
 EPS = 0.05  # partition.cpp:88
 
 
-def run_method(points, k, method, eps=EPS, overlap=0.0, metric="l2", seed=555):
+def run_method(points, k, method, eps=EPS, overlap=0.0, metric="l2", seed=555,
+               strong=False):
     """Dispatch a partitioning method; returns Clusters."""
     from gpann_tpu.gp import api as gp_api
 
     return gp_api.partition(points, k, method, eps=eps, overlap=overlap,
-                            metric=metric, seed=seed)
+                            metric=metric, seed=seed, strong=strong)
 
 
 def main(argv=None) -> int:
@@ -44,10 +49,13 @@ def main(argv=None) -> int:
                else (0.2 if method.startswith("O") else 0.0))
     metric = argv[5] if len(argv) > 5 else "l2"
     size = int(argv[6]) if len(argv) > 6 else None
+    strong = len(argv) > 7 and argv[7] == "strong"
 
     points = read_points(point_file, size=size)
-    print(f"loaded {points.shape}; partitioning with {method} k={k}", flush=True)
-    clusters = run_method(points, k, method, overlap=overlap, metric=metric)
+    print(f"loaded {points.shape}; partitioning with {method} k={k}"
+          + (" (strong)" if strong else ""), flush=True)
+    clusters = run_method(points, k, method, overlap=overlap, metric=metric,
+                          strong=strong)
 
     suffix = f".k={k}.{method}"
     if method.startswith("O"):  # overlapping methods record the overlap

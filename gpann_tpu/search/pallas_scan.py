@@ -141,9 +141,13 @@ def fused_topk(
     Phase 1: Pallas bin summaries. Phase 2: ``lax.top_k`` over bin entries.
     Phase 3: exact f32 rescore of the candidates. Returns
     (dists [m, k], column-ids [m, k]); padding rows never win.
-    Candidate entries default to ``max(2k, k+16)``.
+
+    Candidate entries default to ``max(k, 16)``: lax.top_k on TPU has a fast
+    path for k <= 16 (measured: nc=16 -> 0.17 ms vs nc=32 -> 1.4 ms per
+    [1024 x 62592] block) and recall@10 is already 0.9999 at nc=16 thanks to
+    the top-2-per-bin epilogue.
     """
-    nc = num_candidate_bins or max(2 * k, k + 16)
+    nc = num_candidate_bins or max(k, 16)
     mins, argmins = binmin_scan(qs, base, bsq, metric, tq=tq, tc=tc,
                                 interpret=interpret)
     nc = min(nc, mins.shape[1])

@@ -178,8 +178,7 @@ class ServingEngine:
             )
             q_sq_ext = sq_norms(queries_ext) if metric == "l2" else None
 
-            def body(carry, inp):
-                qidx, b = inp
+            def scan_block(qidx, b):
                 qs = queries_ext[qidx]
                 blk = shard_points[jnp.minimum(b, s - 1)]
                 size = shard_sizes_ext[b]  # 0 for dummy shard s
@@ -199,7 +198,7 @@ class ServingEngine:
                         )
                     d, pos2 = fused_topk(qs, blk, bsq, k, metric,
                                          interpret=interpret, tq=tq_eff)
-                    return carry, (d, bids[pos2])
+                    return d, bids[pos2]
                 dots = jnp.dot(qs, blk.T, preferred_element_type=jnp.float32,
                                precision=precision)
                 if metric == "mips":
@@ -212,8 +211,25 @@ class ServingEngine:
                 negk, posk = jax.lax.top_k(-dm, _scan_k(k, cap, rescore))
                 if rescore:
                     d, pos2 = _exact_rescore(qs, blk, -negk, posk, k, metric)
-                    return carry, (d, bids[pos2])
-                return carry, (-negk[:, :k], bids[posk[:, :k]])
+                    return d, bids[pos2]
+                return -negk[:, :k], bids[posk[:, :k]]
+
+            def body(carry, inp):
+                qidx, b = inp
+                # padding blocks (dummy shard or all-padding queries) skip the
+                # scan entirely — the grouping's static worst case adds up to
+                # s+1 such blocks per batch
+                is_real = (shard_sizes_ext[b] > 0) & jnp.any(qidx < m)
+                d, i = jax.lax.cond(
+                    is_real,
+                    lambda args: scan_block(*args),
+                    lambda args: (
+                        jnp.full((qb, k), jnp.inf, jnp.float32),
+                        jnp.full((qb, k), -1, jnp.int32),
+                    ),
+                    (qidx, b),
+                )
+                return carry, (d, i)
 
             _, (bd, bi) = jax.lax.scan(
                 body, None, (pair_q.reshape(nb, qb), block_shard)

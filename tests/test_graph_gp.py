@@ -130,3 +130,26 @@ def test_gp_oracle_recall_beats_random(rng):
     rand_curve = oracle_recall(gt_ids, partition=clusters_to_partition(rand_clusters, 3000))
     assert gp_curve[0] > rand_curve[0] + 0.3, (gp_curve[0], rand_curve[0])
     assert gp_curve[0] > 0.8
+
+
+class TestDeterminism:
+    def test_partition_graph_deterministic(self, rng):
+        pts, _ = make_blobs(rng, n=1500, kb=6, d=8)
+        g = build_exact_knn_graph(pts, 6)
+        indptr, indices, w = symmetrize_to_csr(g)
+        a = partition_graph(indptr, indices, w, k=6, eps=0.05, seed=42)
+        b = partition_graph(indptr, indices, w, k=6, eps=0.05, seed=42)
+        np.testing.assert_array_equal(a, b)
+
+    def test_approx_graph_deterministic(self, rng):
+        pts, _ = make_blobs(rng, n=6000, kb=6, d=8)
+        a = ApproximateKNNGraphBuilder(seed=9).build(pts, 5)
+        b = ApproximateKNNGraphBuilder(seed=9).build(pts, 5)
+        np.testing.assert_array_equal(a, b)
+
+    def test_api_partition_deterministic(self, rng):
+        pts, _ = make_blobs(rng, n=1200, kb=4, d=8)
+        a = api.partition(pts, 4, "BalancedKMeans", seed=11)
+        b = api.partition(pts, 4, "BalancedKMeans", seed=11)
+        for ca, cb in zip(a, b):
+            np.testing.assert_array_equal(ca, cb)
