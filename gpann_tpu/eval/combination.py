@@ -78,22 +78,68 @@ def attribute_recall_and_query_time(
     num_shards: int,
     nprobes: int,
     k: int,
+    unique_hits: Optional[bool] = None,
 ) -> tuple[float, np.ndarray]:
     """Unique-hit recall + per-shard accumulated work for a fixed nprobes
     (reference AttributeRecallAndQueryTimeIncreasingNumProbes,
-    route_search_combination.cpp:9-63)."""
+    route_search_combination.cpp:9-63).
+
+    With a non-overlapping partition, hit ids are disjoint across shards, so
+    recall is a vectorized sum of per-(shard, query) hit counts; the
+    set-based dedup only runs for overlapping clusterings (auto-detected
+    once per ShardSearch, cached on the object).
+    """
+    if unique_hits is None:
+        unique_hits = _hits_are_unique(search)
+    probes = route.buckets_to_probe[:, :nprobes]
+    qidx = np.repeat(np.arange(num_queries), probes.shape[1])
+    flat_b = probes.reshape(-1)
+    valid = flat_b >= 0
+    qv, bv = qidx[valid], flat_b[valid]
     local_work = np.zeros(num_shards, np.float64)
-    total_hits = 0
-    for q in range(num_queries):
-        probes = route.probe_list(q, nprobes)
-        seen: set = set()
-        for b in probes:
-            local_work[b] += search.time_query_in_shard[b, q]
-            for h in search.hits[b][q]:
-                seen.add(int(h))
-        total_hits += min(len(seen), k)
+    np.add.at(local_work, bv, search.time_query_in_shard[bv, qv])
+    if unique_hits:
+        counts = _hit_counts(search)  # cached [s, nq]
+        per_q = np.zeros(num_queries, np.int64)
+        np.add.at(per_q, qv, counts[bv, qv])
+        total_hits = int(np.minimum(per_q, k).sum())
+    else:
+        total_hits = 0
+        for q in range(num_queries):
+            seen: set = set()
+            for b in route.probe_list(q, nprobes):
+                seen.update(search.hits[b][q].tolist())
+            total_hits += min(len(seen), k)
     recall = total_hits / (k * num_queries)
     return recall, local_work
+
+
+def _hit_counts(search: ShardSearch) -> np.ndarray:
+    if not hasattr(search, "_hit_counts"):
+        s = len(search.hits)
+        nq = len(search.hits[0]) if s else 0
+        counts = np.zeros((s, nq), np.int32)
+        for b in range(s):
+            for q in range(nq):
+                counts[b, q] = len(search.hits[b][q])
+        search._hit_counts = counts
+    return search._hit_counts
+
+
+def _hits_are_unique(search: ShardSearch) -> bool:
+    """True if no hit id appears in more than one shard for any query."""
+    if not hasattr(search, "_unique_hits"):
+        nq = len(search.hits[0]) if search.hits else 0
+        unique = True
+        for q in range(nq):
+            all_ids = np.concatenate(
+                [search.hits[b][q] for b in range(len(search.hits))]
+            )
+            if len(np.unique(all_ids)) != len(all_ids):
+                unique = False
+                break
+        search._unique_hits = unique
+    return search._unique_hits
 
 
 def replica_cost_model(

@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gpann_tpu.core.distances import Metric
 
 BIN = 128          # columns per bin = TPU lane width
-INNER = 2048       # dot-chunk columns inside the kernel (VMEM bound)
+INNER = 1024       # dot-chunk columns inside the kernel (VMEM bound:
+                   # base tile 6.3MB double-buffered + dot chunk must stay <16MB)
 
 
 def _bintop2_kernel(q_ref, b_ref, bsq_ref, mn1_ref, am1_ref, mn2_ref,

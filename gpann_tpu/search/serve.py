@@ -86,6 +86,22 @@ class ServingEngine:
         self.shard_bsq = jnp.asarray(bsq)
         self.router_points = jnp.asarray(routing_points, jnp.float32)
         self.router_labels = jnp.asarray(routing_labels, jnp.int32)
+        # shard-major routing blocks for the min_dist rule: per-shard min is
+        # a masked reduction per block — no top_k (its k>16 path is slow)
+        routing_labels = np.asarray(routing_labels)
+        r_counts = np.bincount(routing_labels, minlength=self.num_shards)
+        r_pad = _round_up(max(int(r_counts.max()), 1), 128)
+        r_blocks = np.zeros((self.num_shards, r_pad, routing_points.shape[1]),
+                            np.float32)
+        r_bsq = np.full((self.num_shards, r_pad), np.inf, np.float32)
+        for b in range(self.num_shards):
+            members = np.nonzero(routing_labels == b)[0]
+            r_blocks[b, : len(members)] = routing_points[members]
+            r_bsq[b, : len(members)] = (
+                (routing_points[members].astype(np.float64) ** 2).sum(1)
+            ).astype(np.float32)
+        self.router_blocks = jnp.asarray(r_blocks)
+        self.router_bsq = jnp.asarray(r_bsq)
         self._fns: dict = {}
 
     # -- compiled pipeline -----------------------------------------------------
@@ -105,23 +121,46 @@ class ServingEngine:
                 scan_mode = "exact"
 
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
-                     shard_bsq, router_points, router_labels):
+                     shard_bsq, router_points, router_labels,
+                     router_blocks, router_bsq):
             m = queries.shape[0]
             # ---- route ----
-            rdots = jnp.dot(queries, router_points.T,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
-            if metric == "mips":
-                rdm = 1.0 - rdots
+            if rule in ("min_dist", "pyramid", "spann"):
+                # per-shard min distance via masked block reductions — no
+                # top_k (slow for k>16) and no scatter
+                q_sq = sq_norms(queries) if metric == "l2" else None
+
+                def shard_min(carry, inp):
+                    blk, bbsq = inp
+                    dots = jnp.dot(queries, blk.T,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+                    if metric == "mips":
+                        dmb = 1.0 - dots
+                    else:
+                        dmb = q_sq[:, None] + bbsq[None, :] - 2.0 * dots
+                    dmb = jnp.where(jnp.isfinite(bbsq)[None, :], dmb, jnp.inf)
+                    return carry, jnp.min(dmb, axis=1)
+
+                _, mins = jax.lax.scan(
+                    shard_min, None, (router_blocks, router_bsq)
+                )
+                min_d = mins.T  # [m, s]
             else:
-                rdm = (sq_norms(queries)[:, None]
-                       + sq_norms(router_points)[None, :] - 2.0 * rdots)
-            t = min(voting_t, router_points.shape[0])
-            neg, nidx = jax.lax.top_k(-rdm, t)
-            ndist = -neg
-            nshard = router_labels[nidx]
-            row = jnp.arange(m)[:, None]
-            min_d = jnp.full((m, s), jnp.inf).at[row, nshard].min(ndist)
+                rdots = jnp.dot(queries, router_points.T,
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+                if metric == "mips":
+                    rdm = 1.0 - rdots
+                else:
+                    rdm = (sq_norms(queries)[:, None]
+                           + sq_norms(router_points)[None, :] - 2.0 * rdots)
+                t = min(voting_t, router_points.shape[0])
+                neg, nidx = jax.lax.top_k(-rdm, t)
+                ndist = -neg
+                nshard = router_labels[nidx]
+                row = jnp.arange(m)[:, None]
+                min_d = jnp.full((m, s), jnp.inf).at[row, nshard].min(ndist)
             if rule == "frequency":
                 freq = jnp.zeros((m, s), jnp.int32).at[row, nshard].add(1)
                 by_d = jnp.argsort(
@@ -275,5 +314,7 @@ class ServingEngine:
             self.shard_bsq,
             self.router_points,
             self.router_labels,
+            self.router_blocks,
+            self.router_bsq,
         )
         return np.asarray(d), np.asarray(i)
