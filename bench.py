@@ -56,15 +56,30 @@ def main() -> int:
     ).astype(np.float32)
     print(f"# data ready: {pts.shape}", file=sys.stderr)
 
-    gt_ids, gt_dists = compute_ground_truth(pts, q, K, query_block=1024)
-    kth = kth_neighbor_distance(gt_dists, K)
-    print("# ground truth done", file=sys.stderr)
+    # GT + partition are deterministic functions of (SEED, N, D, NQ, SHARDS):
+    # cache them like the reference caches ground truth
+    # (run_query_attribution.cpp:46-55) so bench reruns measure serving only
+    import os
 
-    t0 = time.time()
-    _, assign = balanced_kmeans(pts, k=SHARDS, eps=0.05, seed=SEED)
+    cache_dir = os.path.expanduser("~/.cache/gpann_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        gt_ids, gt_dists, assign = z["gt_ids"], z["gt_dists"], z["assign"]
+        build_time = float(z["build_time"])
+        print("# gt+partition loaded from cache", file=sys.stderr)
+    else:
+        gt_ids, gt_dists = compute_ground_truth(pts, q, K, query_block=1024)
+        print("# ground truth done", file=sys.stderr)
+        t0 = time.time()
+        _, assign = balanced_kmeans(pts, k=SHARDS, eps=0.05, seed=SEED)
+        build_time = time.time() - t0
+        print(f"# partition done in {build_time:.1f}s", file=sys.stderr)
+        np.savez(cache, gt_ids=gt_ids, gt_dists=gt_dists, assign=assign,
+                 build_time=build_time)
+    kth = kth_neighbor_distance(gt_dists, K)
     clusters = partition_to_clusters(assign, SHARDS)
-    build_time = time.time() - t0
-    print(f"# partition done in {build_time:.1f}s", file=sys.stderr)
 
     opts = KMeansTreeRouterOptions(num_centroids=32, budget=20_000)
     kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=SEED)
@@ -92,7 +107,26 @@ def main() -> int:
     nprobes, recall = chosen
 
     lat, _ = time_fn(serve, q_dev, nprobes, reps=5, warmup=2)
-    qps = NQ / lat
+
+    # pipelined throughput: batches dispatched back-to-back, results chained
+    # on device, ONE final readback — the steady-state serving number (the
+    # per-batch D2H readback above costs ~50 ms of tunnel round-trip that a
+    # real pipeline overlaps with compute)
+    def serve_dev(nprobes):
+        return engine.serve_device(q_dev, K, nprobes, voting_t=60,
+                                   rule="min_dist")
+
+    d0, _ = serve_dev(nprobes)
+    float(jnp.sum(jnp.where(jnp.isfinite(d0), d0, 0.0)))  # warm + sync
+    reps = 10
+    t0 = time.time()
+    acc = None
+    for _ in range(reps):
+        d0, _ = serve_dev(nprobes)
+        acc = d0 if acc is None else acc + d0
+    float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))  # sync
+    pipelined_lat = (time.time() - t0) / reps
+    qps = NQ / pipelined_lat
 
     # brute-force full-scan baseline on the same chip, using the SAME scan
     # technology (Pallas bin-top-2 kernel over the whole base) so vs_baseline
@@ -102,10 +136,20 @@ def main() -> int:
 
         padded, bsq = pad_base_for_scan(pts, "l2")
         pj, bsqj = jnp.asarray(padded), jnp.asarray(bsq)
-        brute_lat, (_, bi) = time_fn(
-            lambda: fused_topk(q_dev, pj, bsqj, K), reps=3, warmup=1
-        )
-        brute_recall = recall_from_ids(pts, q, np.asarray(bi), kth, K)
+        # 1024-query chunks: larger query operands blow the VMEM budget via
+        # cross-program prefetch (see pallas_scan.fused_topk_chunked)
+        qc = 1024
+        q_chunks = [q_dev[s : s + qc] for s in range(0, NQ, qc)]
+        bis = [np.asarray(fused_topk(qq, pj, bsqj, K)[1]) for qq in q_chunks]
+        brute_recall = recall_from_ids(pts, q, np.concatenate(bis), kth, K)
+        t0 = time.time()
+        acc = None
+        for _ in range(reps):
+            for qq in q_chunks:
+                bd, _ = fused_topk(qq, pj, bsqj, K)
+                acc = bd if acc is None else acc + bd
+        float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))
+        brute_lat = (time.time() - t0) / reps
     except Exception as e:  # pallas unavailable: XLA top_k fallback
         print(f"# pallas brute failed ({e}); XLA fallback", file=sys.stderr)
         pj = jnp.asarray(pts)
@@ -129,6 +173,7 @@ def main() -> int:
                 "num_shards": SHARDS,
                 "brute_force_qps": round(brute_qps, 1),
                 "batch": NQ,
+                "batch_latency_with_readback_ms": round(lat * 1e3, 2),
             }
         )
     )

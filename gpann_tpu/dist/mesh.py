@@ -176,10 +176,22 @@ class DistributedIVF:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Distributed probed search. probes [m, p] global shard ids (-1 pad).
 
-        The query batch must be divisible by the dp axis size.
+        Query batches not divisible by the dp axis are padded transparently.
         """
         if k not in self._search_cache:
             self._search_cache[k] = self._build_search(k)
+        m = len(queries)
+        dp = self.mesh.shape["dp"]
+        pad = (-m) % dp
+        if pad:
+            queries = np.concatenate(
+                [np.asarray(queries, np.float32),
+                 np.zeros((pad, queries.shape[1]), np.float32)]
+            )
+            probes = np.concatenate(
+                [np.asarray(probes, np.int32),
+                 np.full((pad, probes.shape[1]), -1, np.int32)]
+            )
         d, i = self._search_cache[k](
             jnp.asarray(queries, jnp.float32),
             jnp.asarray(probes, jnp.int32),
@@ -187,7 +199,7 @@ class DistributedIVF:
             self.shard_sizes,
             self.shard_ids,
         )
-        return np.asarray(d), np.asarray(i)
+        return np.asarray(d)[:m], np.asarray(i)[:m]
 
 
 # ---------------------------------------------------------------------------

@@ -149,11 +149,21 @@ def graph_partitioning(
     metric: Metric = "l2",
     seed: int = 555,
     degree: int = 10,
+    graph_output_path: Optional[str] = None,
 ) -> Partition:
     """GP: approximate kNN graph -> balanced graph partition
-    (partitioning.cpp:251-264)."""
+    (partitioning.cpp:251-264). ``graph_output_path`` dumps the kNN graph in
+    Metis format first (partitioning.cpp:258-261)."""
     builder = ApproximateKNNGraphBuilder(metric=metric, seed=seed, strong=strong)
     graph = builder.build(points, degree)
+    if graph_output_path:
+        from gpann_tpu.core.metis_io import write_metis_graph
+        from gpann_tpu.graph.knn import symmetrize_to_csr
+        from gpann_tpu.core.metis_io import adjacency_from_csr
+
+        indptr, indices, _ = symmetrize_to_csr(graph)
+        write_metis_graph(graph_output_path,
+                          adjacency_from_csr(indptr, indices))
     return partition_dense_graph(graph, num_clusters, eps, seed=seed)
 
 

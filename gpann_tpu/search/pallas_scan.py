@@ -166,6 +166,32 @@ def fused_topk(
     return -neg, jnp.take_along_axis(cand_cols, pos, axis=1)
 
 
+def fused_topk_chunked(
+    qs,
+    base: jnp.ndarray,
+    bsq: jnp.ndarray,
+    k: int,
+    metric: Metric = "l2",
+    query_chunk: int = 1024,
+    **kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-chunked :func:`fused_topk` for large query batches.
+
+    XLA cross-program-prefetches the whole query operand into VMEM; above
+    ~1-2k queries that (plus the double-buffered 6.3 MB base tiles) blows the
+    16 MB budget. Chunking the queries keeps each call's footprint flat.
+    Returns numpy arrays.
+    """
+    qs = jnp.asarray(qs, jnp.float32)
+    outs_d, outs_i = [], []
+    for s in range(0, qs.shape[0], query_chunk):
+        d, i = fused_topk(qs[s : s + query_chunk], base, bsq, k, metric,
+                          **kwargs)
+        outs_d.append(np.asarray(d))
+        outs_i.append(np.asarray(i))
+    return np.concatenate(outs_d), np.concatenate(outs_i)
+
+
 def pad_base_for_scan(
     points: np.ndarray, metric: Metric, tc: int = 16384
 ) -> Tuple[np.ndarray, np.ndarray]:

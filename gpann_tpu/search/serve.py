@@ -290,6 +290,36 @@ class ServingEngine:
 
         return jax.jit(pipeline)
 
+    def serve_device(
+        self,
+        queries,
+        k: int,
+        nprobes: int,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        query_block: int = 1024,
+        spann_eps: float = 0.6,
+    ):
+        """Like :meth:`serve` but returns device arrays — for pipelined
+        serving loops that overlap result readback with the next batch's
+        compute (this environment's D2H link is ~20 MB/s with ~50 ms
+        round-trip; readback must never serialize the pipeline)."""
+        key = (k, nprobes, voting_t, rule, query_block, spann_eps)
+        if key not in self._fns:
+            self._fns[key] = self._build(k, nprobes, voting_t, rule,
+                                         query_block, spann_eps)
+        return self._fns[key](
+            jnp.asarray(queries, jnp.float32),
+            self.shard_points,
+            self.shard_sizes_ext,
+            self.shard_ids,
+            self.shard_bsq,
+            self.router_points,
+            self.router_labels,
+            self.router_blocks,
+            self.router_bsq,
+        )
+
     def serve(
         self,
         queries,

@@ -94,3 +94,11 @@ def test_sharded_lloyd_round_matches_single(setup):
     counts = np.bincount(want_assign, minlength=8)
     want_c = sums / np.maximum(counts, 1)[:, None]
     np.testing.assert_allclose(np.asarray(new_c), want_c, rtol=1e-3, atol=1e-3)
+
+
+def test_uneven_query_batch_padded(setup):
+    pts, q, clusters = setup
+    divf = DistributedIVF(pts, clusters, mesh=shard_mesh(dp=2))
+    probes = np.tile(np.arange(8), (13, 1))  # 13 not divisible by dp=2
+    d, i = divf.search_probed(q[:13], probes, 10)
+    assert d.shape == (13, 10)
