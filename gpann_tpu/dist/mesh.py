@@ -124,14 +124,20 @@ class DistributedIVF:
             blocks[b, : len(members)] = points[members]
             ids[b, : len(members)] = members
 
-        shard_spec = NamedSharding(self.mesh, P("shard"))
-        self.shard_points = jax.device_put(
-            blocks, NamedSharding(self.mesh, P("shard", None, None))
-        )
-        self.shard_sizes = jax.device_put(sizes, shard_spec)
-        self.shard_ids = jax.device_put(
-            ids, NamedSharding(self.mesh, P("shard", None))
-        )
+        # make_array_from_callback materializes only each process's
+        # addressable shards — this is what makes the same code work
+        # multi-host under jax.distributed (each host holds its own shards,
+        # like the reference's per-rank LoadShardPointSet,
+        # distributed_query_benchmark.h:48-84)
+        def _put(arr, spec):
+            sharding = NamedSharding(self.mesh, spec)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx]
+            )
+
+        self.shard_points = _put(blocks, P("shard", None, None))
+        self.shard_sizes = _put(sizes, P("shard"))
+        self.shard_ids = _put(ids, P("shard", None))
         self._search_cache: dict = {}
 
     def _build_search(self, k: int):

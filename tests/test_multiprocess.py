@@ -1,0 +1,109 @@
+"""True multi-process distributed test: 2 CPU processes under
+jax.distributed, global shard mesh, collective query merge.
+
+This is the test the reference could never run (its MPI path is disabled and
+non-compiling, SURVEY.md §5.8): each process holds only its own shards
+(make_array_from_callback) and the merged results must match the single-chip
+engine bit-for-bit.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    rank = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=rank,
+    )
+    import numpy as np
+    sys.path.insert(0, %r)
+    from gpann_tpu.cluster import balanced_kmeans
+    from gpann_tpu.core.partition import partition_to_clusters
+    from gpann_tpu.dist import DistributedIVF, shard_mesh
+
+    rng = np.random.default_rng(555)
+    centers = rng.standard_normal((8, 12)).astype(np.float32) * 4
+    lbl = rng.integers(0, 8, size=2048)
+    pts = (centers[lbl] + 0.4 * rng.standard_normal((2048, 12))).astype(np.float32)
+    q = (centers[rng.integers(0, 8, size=32)]
+         + 0.4 * rng.standard_normal((32, 12))).astype(np.float32)
+    _, assign = balanced_kmeans(pts, k=8, eps=0.3, seed=1)
+    clusters = partition_to_clusters(assign, 8)
+
+    mesh = shard_mesh(dp=1)  # 4 global devices (2 per process)
+    index = DistributedIVF(pts, clusters, mesh=mesh)
+    probes = np.tile(np.arange(8, dtype=np.int32), (32, 1))[:, :3]
+    d, i = index.search_probed(q, probes, 10)
+    if rank == 0:
+        np.savez(out, d=d, i=i)
+    print("RANK", rank, "OK", flush=True)
+    """
+)
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "rank0.npz")
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER % os.path.dirname(os.path.dirname(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(rank), str(port), out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for rank in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for pp in procs:
+                pp.kill()
+            raise
+        outputs.append(stdout.decode())
+    assert all(p.returncode == 0 for p in procs), outputs
+
+    # single-process oracle
+    from gpann_tpu.cluster import balanced_kmeans
+    from gpann_tpu.core.partition import partition_to_clusters
+    from gpann_tpu.search import IVFIndex
+
+    rng = np.random.default_rng(555)
+    centers = rng.standard_normal((8, 12)).astype(np.float32) * 4
+    lbl = rng.integers(0, 8, size=2048)
+    pts = (centers[lbl] + 0.4 * rng.standard_normal((2048, 12))).astype(np.float32)
+    q = (centers[rng.integers(0, 8, size=32)]
+         + 0.4 * rng.standard_normal((32, 12))).astype(np.float32)
+    _, assign = balanced_kmeans(pts, k=8, eps=0.3, seed=1)
+    clusters = partition_to_clusters(assign, 8)
+    ivf = IVFIndex(pts, clusters)
+    probes = np.tile(np.arange(8, dtype=np.int32), (32, 1))[:, :3]
+    sd, si = ivf.search_probed(q, probes, 10)
+
+    z = np.load(out)
+    np.testing.assert_allclose(z["d"], sd, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(z["i"], 1), np.sort(si, 1))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
