@@ -134,20 +134,15 @@ def main() -> int:
     try:
         from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
 
-        padded, bsq = pad_base_for_scan(pts, "l2")
-        pj, bsqj = jnp.asarray(padded), jnp.asarray(bsq)
-        # 1024-query chunks: larger query operands blow the VMEM budget via
-        # cross-program prefetch (see pallas_scan.fused_topk_chunked)
-        qc = 1024
-        q_chunks = [q_dev[s : s + qc] for s in range(0, NQ, qc)]
-        bis = [np.asarray(fused_topk(qq, pj, bsqj, K)[1]) for qq in q_chunks]
-        brute_recall = recall_from_ids(pts, q, np.concatenate(bis), kth, K)
+        padded, n_valid = pad_base_for_scan(pts, "l2")
+        pj = jnp.asarray(padded)
+        bd, bi = fused_topk(q_dev, pj, n_valid, K)
+        brute_recall = recall_from_ids(pts, q, np.asarray(bi), kth, K)
         t0 = time.time()
         acc = None
         for _ in range(reps):
-            for qq in q_chunks:
-                bd, _ = fused_topk(qq, pj, bsqj, K)
-                acc = bd if acc is None else acc + bd
+            bd, _ = fused_topk(q_dev, pj, n_valid, K)
+            acc = bd if acc is None else acc + bd
         float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))
         brute_lat = (time.time() - t0) / reps
     except Exception as e:  # pallas unavailable: XLA top_k fallback

@@ -36,24 +36,52 @@ INNER = 1024       # dot-chunk columns inside the kernel (VMEM bound:
                    # base tile 6.3MB double-buffered + dot chunk must stay <16MB)
 
 
-def _bintop2_kernel(q_ref, b_ref, bsq_ref, mn1_ref, am1_ref, mn2_ref,
-                    am2_ref, *, metric: str, tc: int):
-    """One (query-tile, base-tile) step: chunked dot + bin top-2 epilogue."""
+def _bintop2_kernel(q_ref, nvalid_ref, b_hbm, mn1_ref, am1_ref, mn2_ref,
+                    am2_ref, b_buf, sems, *, metric: str, tc: int):
+    """One (query-tile, base-tile) step: manually double-buffered INNER-chunk
+    DMAs from HBM + dot + bin top-2 epilogue.
+
+    The base tile stays in HBM (6.3 MB at tc=16384); Pallas auto-blocking
+    would double/triple-buffer it and blow the 16 MB VMEM budget at large
+    grids. Manual DMA keeps VMEM at ~2 x INNER-chunk (0.8 MB) + dot tile.
+    Squared norms are recomputed in-kernel (cheaper than a second DMA whose
+    1D slot buffer violates VMEM tiling); padding rows (>= n_valid, an SMEM
+    scalar so shard sizes can vary at runtime) are masked by global row
+    index.
+    """
     q = q_ref[:]                       # [tq, d]
     tq = q.shape[0]
     if metric != "mips":
         qsq = jnp.sum(q * q, axis=1, keepdims=True)
     j = pl.program_id(1)
-    for c in range(tc // INNER):
-        b = b_ref[c * INNER : (c + 1) * INNER, :]      # [INNER, d]
-        bsq = bsq_ref[c * INNER : (c + 1) * INNER]
+    n_chunks = tc // INNER
+
+    def dma(slot, c):
+        # b_hbm is the FULL array in HBM (ANY memory space only supports
+        # whole-array blocks); chunk offsets are global
+        off = j * tc + c * INNER
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(off, INNER), :],
+            b_buf.at[slot], sems.at[slot],
+        )
+
+    dma(0, 0).start()
+    for c in range(n_chunks):  # static unroll: n_chunks = tc/INNER = 16
+        slot = c % 2
+        if c + 1 < n_chunks:
+            dma((c + 1) % 2, c + 1).start()
+        dma(slot, c).wait()
+        b = b_buf[slot]
+        off = j * tc + c * INNER
         dots = jnp.dot(q, b.T, preferred_element_type=jnp.float32)
         if metric == "mips":
             dm = 1.0 - dots
         else:
+            bsq = jnp.sum(b * b, axis=1)
             dm = qsq + bsq[None, :] - 2.0 * dots
-        # padding rows carry bsq=+inf and may never win (both metrics)
-        dm = jnp.where(jnp.isfinite(bsq)[None, :], dm, jnp.inf)
+        # mask padding rows (their vectors are zeros) by global row index
+        row_ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, INNER), 1)
+        dm = jnp.where(row_ids < nvalid_ref[0], dm, jnp.inf)
         nb = INNER // BIN
         dm3 = dm.reshape(tq, nb, BIN)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, nb, BIN), 2)
@@ -62,7 +90,6 @@ def _bintop2_kernel(q_ref, b_ref, bsq_ref, mn1_ref, am1_ref, mn2_ref,
         dm3b = jnp.where(cols == local1[:, :, None], jnp.inf, dm3)
         local2 = jnp.argmin(dm3b, axis=2).astype(jnp.int32)
         mn2 = jnp.min(dm3b, axis=2)
-        off = j * tc + c * INNER
         bin_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
         sl = slice(c * nb, (c + 1) * nb)
         mn1_ref[:, sl] = mn1
@@ -75,7 +102,7 @@ def _bintop2_kernel(q_ref, b_ref, bsq_ref, mn1_ref, am1_ref, mn2_ref,
 def binmin_scan(
     qs: jnp.ndarray,          # [m, d] float32
     base: jnp.ndarray,        # [cap, d] float32 (rows padded arbitrarily)
-    bsq: jnp.ndarray,         # [cap] float32 squared norms (+inf for padding)
+    n_valid,                  # scalar: rows < n_valid are real (rest padding)
     metric: Metric = "l2",
     tq: int = 128,
     tc: int = 16384,
@@ -88,9 +115,19 @@ def binmin_scan(
     argmins [m, 2*cap/BIN]) with the two per-bin entries laid out as
     [all min1 | all min2] halves.
     """
-    m, d = qs.shape
+    m = qs.shape[0]
+    # HBM DMA slices need the minor dim aligned to the 128-lane tiling; zero
+    # column padding changes no distance (callers may pre-pad to avoid the
+    # copy — pad_base_for_scan does). qs and base may arrive with different
+    # widths (one already padded): bring both to the common 128-multiple.
+    d = -(-max(qs.shape[1], base.shape[1]) // 128) * 128
+    if qs.shape[1] != d:
+        qs = jnp.pad(qs, ((0, 0), (0, d - qs.shape[1])))
+    if base.shape[1] != d:
+        base = jnp.pad(base, ((0, 0), (0, d - base.shape[1])))
     cap = base.shape[0]
     grid = (m // tq, cap // tc)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     kernel = functools.partial(_bintop2_kernel, metric=metric, tc=tc)
     nbin_t = tc // BIN
     L = cap // BIN
@@ -99,8 +136,8 @@ def binmin_scan(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((tc, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc,), lambda i, j: (j,)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((tq, nbin_t), lambda i, j: (i, j)),
@@ -114,8 +151,12 @@ def binmin_scan(
             jax.ShapeDtypeStruct((m, L), jnp.float32),
             jax.ShapeDtypeStruct((m, L), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, INNER, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(qs, base, bsq)
+    )(qs, nv, base)
     return (
         jnp.concatenate([mn1, mn2], axis=1),
         jnp.concatenate([am1, am2], axis=1),
@@ -129,7 +170,7 @@ def binmin_scan(
 def fused_topk(
     qs: jnp.ndarray,
     base: jnp.ndarray,
-    bsq: jnp.ndarray,
+    n_valid,
     k: int,
     metric: Metric = "l2",
     num_candidate_bins: int = 0,
@@ -149,7 +190,12 @@ def fused_topk(
     the top-2-per-bin epilogue.
     """
     nc = num_candidate_bins or max(k, 16)
-    mins, argmins = binmin_scan(qs, base, bsq, metric, tq=tq, tc=tc,
+    if base.shape[1] % 128:
+        d_pad = -(-base.shape[1] // 128) * 128
+        base = jnp.pad(base, ((0, 0), (0, d_pad - base.shape[1])))
+    if qs.shape[1] != base.shape[1]:
+        qs = jnp.pad(qs, ((0, 0), (0, base.shape[1] - qs.shape[1])))
+    mins, argmins = binmin_scan(qs, base, n_valid, metric, tq=tq, tc=tc,
                                 interpret=interpret)
     nc = min(nc, mins.shape[1])
     negb, bpos = jax.lax.top_k(-mins, nc)
@@ -169,7 +215,7 @@ def fused_topk(
 def fused_topk_chunked(
     qs,
     base: jnp.ndarray,
-    bsq: jnp.ndarray,
+    n_valid,
     k: int,
     metric: Metric = "l2",
     query_chunk: int = 1024,
@@ -185,7 +231,7 @@ def fused_topk_chunked(
     qs = jnp.asarray(qs, jnp.float32)
     outs_d, outs_i = [], []
     for s in range(0, qs.shape[0], query_chunk):
-        d, i = fused_topk(qs[s : s + query_chunk], base, bsq, k, metric,
+        d, i = fused_topk(qs[s : s + query_chunk], base, n_valid, k, metric,
                           **kwargs)
         outs_d.append(np.asarray(d))
         outs_i.append(np.asarray(i))
@@ -194,13 +240,13 @@ def fused_topk_chunked(
 
 def pad_base_for_scan(
     points: np.ndarray, metric: Metric, tc: int = 16384
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad base rows to a multiple of tc; padding gets +inf squared norm so
-    it can never win (the kernel masks by isfinite(bsq) for both metrics)."""
+) -> Tuple[np.ndarray, int]:
+    """Pad base rows to a multiple of tc AND columns to a multiple of 128
+    (HBM DMA tiling); zero column padding changes no distance. Returns
+    (padded base, n_valid) — rows >= n_valid are padding, masked in-kernel."""
     n, d = points.shape
     n_pad = -(-n // tc) * tc
-    base = np.zeros((n_pad, d), np.float32)
-    base[:n] = points
-    bsq = np.full(n_pad, np.inf, np.float32)
-    bsq[:n] = (points.astype(np.float64) ** 2).sum(1).astype(np.float32)
-    return base, bsq
+    d_pad = -(-d // 128) * 128
+    base = np.zeros((n_pad, d_pad), np.float32)
+    base[:n, :d] = points
+    return base, n

@@ -225,17 +225,13 @@ class ServingEngine:
                 if scan_mode == "binned":
                     from gpann_tpu.search.pallas_scan import fused_topk
 
-                    bsq = shard_bsq[jnp.minimum(b, s - 1)]
-                    # dummy shard: poison via +inf norms (size==0)
-                    bsq = jnp.where(
-                        (jnp.arange(cap) < size), bsq, jnp.inf
-                    )
                     tq_eff = min(qb, 128)
                     if qb % tq_eff:
                         raise ValueError(
                             f"query_block={qb} must be a multiple of {tq_eff}"
                         )
-                    d, pos2 = fused_topk(qs, blk, bsq, k, metric,
+                    # size==0 for the dummy shard masks every row in-kernel
+                    d, pos2 = fused_topk(qs, blk, size, k, metric,
                                          interpret=interpret, tq=tq_eff)
                     return d, bids[pos2]
                 dots = jnp.dot(qs, blk.T, preferred_element_type=jnp.float32,

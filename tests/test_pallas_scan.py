@@ -23,13 +23,14 @@ def data():
 
 def test_binmin_matches_numpy(data):
     qs, base = data
-    padded, bsq = pad_base_for_scan(base, "l2", tc=16384)
+    padded, n_valid = pad_base_for_scan(base, "l2", tc=16384)
     mins, argmins = binmin_scan(
-        jnp.asarray(qs), jnp.asarray(padded), jnp.asarray(bsq),
+        jnp.asarray(qs), jnp.asarray(padded), n_valid,
         "l2", tq=128, tc=16384, interpret=True,
     )
     mins, argmins = np.asarray(mins), np.asarray(argmins)
-    dm = ((qs[:, None] - padded[None]) ** 2).sum(-1)
+    # padded may carry zero feature-padding columns: distances are unchanged
+    dm = ((qs[:, None] - padded[None, :, : qs.shape[1]]) ** 2).sum(-1)
     dm[:, len(base):] = np.inf
     dm3 = dm.reshape(len(qs), -1, BIN)
     want1 = np.sort(dm3, axis=-1)[:, :, 0]  # per-bin min
@@ -53,9 +54,9 @@ def test_binmin_matches_numpy(data):
 @pytest.mark.parametrize("metric", ["l2", "mips"])
 def test_fused_topk_high_recall(data, metric):
     qs, base = data
-    padded, bsq = pad_base_for_scan(base, metric, tc=16384)
+    padded, n_valid = pad_base_for_scan(base, metric, tc=16384)
     d, i = fused_topk(
-        jnp.asarray(qs), jnp.asarray(padded), jnp.asarray(bsq), 10,
+        jnp.asarray(qs), jnp.asarray(padded), n_valid, 10,
         metric=metric, interpret=True, tq=128, tc=16384,
     )
     d, i = np.asarray(d), np.asarray(i)
@@ -79,10 +80,10 @@ def test_fused_topk_high_recall(data, metric):
 
 def test_fused_topk_exhaustive_bins_is_exact(data):
     qs, base = data
-    padded, bsq = pad_base_for_scan(base, "l2", tc=16384)
+    padded, n_valid = pad_base_for_scan(base, "l2", tc=16384)
     # with one candidate bin per point... bins >= k guarantee only; use all
     d, i = fused_topk(
-        jnp.asarray(qs), jnp.asarray(padded), jnp.asarray(bsq), 1,
+        jnp.asarray(qs), jnp.asarray(padded), n_valid, 1,
         metric="l2", num_candidate_bins=2 * padded.shape[0] // BIN,
         interpret=True, tq=128, tc=16384,
     )
