@@ -71,19 +71,14 @@ class ServingEngine:
         self.max_size = int(sizes.max())
         blocks = np.zeros((self.num_shards, cap, points.shape[1]), np.float32)
         ids = np.full((self.num_shards, cap), -1, np.int32)
-        bsq = np.full((self.num_shards, cap), np.inf, np.float32)
         for b, members in enumerate(clusters):
             members = np.asarray(members, np.int64)
             blocks[b, : len(members)] = points[members]
             ids[b, : len(members)] = members
-            bsq[b, : len(members)] = (
-                (points[members].astype(np.float64) ** 2).sum(1)
-            ).astype(np.float32)
         self.shard_points = jnp.asarray(blocks)
         # sizes with a trailing 0 entry: dummy shard id == num_shards
         self.shard_sizes_ext = jnp.asarray(np.concatenate([sizes, [0]]))
         self.shard_ids = jnp.asarray(ids)
-        self.shard_bsq = jnp.asarray(bsq)
         self.router_points = jnp.asarray(routing_points, jnp.float32)
         self.router_labels = jnp.asarray(routing_labels, jnp.int32)
         # shard-major routing blocks for the min_dist rule: per-shard min is
@@ -121,7 +116,7 @@ class ServingEngine:
                 scan_mode = "exact"
 
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
-                     shard_bsq, router_points, router_labels,
+                     router_points, router_labels,
                      router_blocks, router_bsq):
             m = queries.shape[0]
             # ---- route ----
@@ -309,7 +304,6 @@ class ServingEngine:
             self.shard_points,
             self.shard_sizes_ext,
             self.shard_ids,
-            self.shard_bsq,
             self.router_points,
             self.router_labels,
             self.router_blocks,
@@ -337,7 +331,6 @@ class ServingEngine:
             self.shard_points,
             self.shard_sizes_ext,
             self.shard_ids,
-            self.shard_bsq,
             self.router_points,
             self.router_labels,
             self.router_blocks,
