@@ -1,10 +1,11 @@
 """Headline benchmark: per-chip QPS at recall@10 >= 0.95 on a synthetic
-clustered 4M x 96 dataset (DEEP-like shape), 16 shards of ~250k points.
+clustered 8M x 96 dataset (DEEP-like shape), 32 shards of ~250k points.
 
-4M (not 1M): at 1M the whole base fits one full-speed scan and routing can't
-pay for itself; 4M/chip matches the reference's shard-per-machine sizing
-(1B / 40-60 shards spread over hosts, README bullet 6) and is where the
-partition+route design separates from brute force.
+Shard size (~250k) is held constant as N grows — the reference's own scaling
+model (1B points / 40-60 shards over hosts, README bullet 6): routed serving
+cost stays ~constant in N while brute force grows linearly, which is the
+entire point of the partitioned design. At 1M points the whole base fits one
+full-speed scan and routing cannot pay for itself.
 
 Pipeline measured (the reference's SmallScaleQueries configuration, C19):
 balanced k-means partition -> k-means-tree router (extracted points, flat
@@ -30,7 +31,7 @@ import time
 
 import numpy as np
 
-N, D, NQ, SHARDS, K = 4_000_000, 96, 4096, 16, 10
+N, D, NQ, SHARDS, K = 8_000_000, 96, 4096, 32, 10
 TARGET_RECALL = 0.95
 SEED = 555
 
@@ -100,7 +101,7 @@ def main() -> int:
     kth = kth_neighbor_distance(gt_dists, K)
     clusters = partition_to_clusters(assign, SHARDS)
 
-    opts = KMeansTreeRouterOptions(num_centroids=32, budget=20_000)
+    opts = KMeansTreeRouterOptions(num_centroids=32, budget=40_000)
     kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=SEED)
     rp, labels = kmtr.extract_points()
     print(f"# router ready ({len(rp)} routing points)", file=sys.stderr)

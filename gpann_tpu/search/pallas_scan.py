@@ -55,6 +55,11 @@ def _bintop2_kernel(q_ref, nvalid_ref, b_hbm, mn1_ref, am1_ref, mn2_ref,
         qsq = jnp.sum(q * q, axis=1, keepdims=True)
     j = pl.program_id(1)
     n_chunks = tc // INNER
+    # per-chunk constants hoisted out of the chunk loop (VPU-bound kernel)
+    nb = INNER // BIN
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, nb, BIN), 2)
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, INNER), 1)
 
     def dma(slot, c):
         # b_hbm is the FULL array in HBM (ANY memory space only supports
@@ -80,22 +85,18 @@ def _bintop2_kernel(q_ref, nvalid_ref, b_hbm, mn1_ref, am1_ref, mn2_ref,
             bsq = jnp.sum(b * b, axis=1)
             dm = qsq + bsq[None, :] - 2.0 * dots
         # mask padding rows (their vectors are zeros) by global row index
-        row_ids = off + jax.lax.broadcasted_iota(jnp.int32, (1, INNER), 1)
-        dm = jnp.where(row_ids < nvalid_ref[0], dm, jnp.inf)
-        nb = INNER // BIN
+        dm = jnp.where(off + row_iota < nvalid_ref[0], dm, jnp.inf)
         dm3 = dm.reshape(tq, nb, BIN)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tq, nb, BIN), 2)
         local1 = jnp.argmin(dm3, axis=2).astype(jnp.int32)
         mn1 = jnp.min(dm3, axis=2)
-        dm3b = jnp.where(cols == local1[:, :, None], jnp.inf, dm3)
+        dm3b = jnp.where(cols_iota == local1[:, :, None], jnp.inf, dm3)
         local2 = jnp.argmin(dm3b, axis=2).astype(jnp.int32)
         mn2 = jnp.min(dm3b, axis=2)
-        bin_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
         sl = slice(c * nb, (c + 1) * nb)
         mn1_ref[:, sl] = mn1
         mn2_ref[:, sl] = mn2
-        am1_ref[:, sl] = off + bin_ids * BIN + local1
-        am2_ref[:, sl] = off + bin_ids * BIN + local2
+        am1_ref[:, sl] = off + bin_iota * BIN + local1
+        am2_ref[:, sl] = off + bin_iota * BIN + local2
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "tq", "tc", "interpret"))

@@ -62,6 +62,13 @@ class ServingEngine:
         self.interpret = interpret
         self.num_shards = len(clusters)
         sizes = np.asarray([len(c) for c in clusters], np.int32)
+        all_ids = (
+            np.concatenate([np.asarray(c) for c in clusters if len(c)])
+            if any(len(c) for c in clusters) else np.empty(0, np.int32)
+        )
+        # overlapping clusterings can return one point from several probed
+        # shards; the merge then dedups ids on device
+        self.overlapping = len(np.unique(all_ids)) < len(all_ids)
         if scan_mode == "binned":
             from gpann_tpu.search.pallas_scan import BIN  # noqa: F401
 
@@ -107,6 +114,7 @@ class ServingEngine:
         cap = self.capacity
 
         scan_mode, interpret = self.scan_mode, self.interpret
+        dedup = self.overlapping
         if scan_mode == "binned":
             from gpann_tpu.search.pallas_scan import BIN
 
@@ -276,6 +284,20 @@ class ServingEngine:
             ].set(bi[pos])
             cat_d = out_d[:m].reshape(m, nprobes * k)
             cat_i = out_i[:m].reshape(m, nprobes * k)
+            if dedup:
+                # mask duplicate ids (keep one copy): sort by id, mark
+                # equal-adjacent, scatter the mask back
+                order_i = jnp.argsort(cat_i, axis=1, stable=True)
+                sorted_i = jnp.take_along_axis(cat_i, order_i, axis=1)
+                dup_sorted = jnp.concatenate(
+                    [jnp.zeros((m, 1), bool),
+                     (sorted_i[:, 1:] == sorted_i[:, :-1]) & (sorted_i[:, 1:] >= 0)],
+                    axis=1,
+                )
+                dup = jnp.zeros_like(dup_sorted).at[
+                    jnp.arange(m)[:, None], order_i
+                ].set(dup_sorted)
+                cat_d = jnp.where(dup, jnp.inf, cat_d)
             fneg, fpos = jax.lax.top_k(-cat_d, k)
             return -fneg, jnp.take_along_axis(cat_i, fpos, axis=1)
 

@@ -101,3 +101,18 @@ def test_serve_binned_mode_large_shards():
     _, fi = binned.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
     rec = recall_from_ids(pts, q, fi, kth, 10)
     assert rec > 0.97, rec
+
+
+def test_serve_overlapping_dedup():
+    rng = np.random.default_rng(21)
+    pts = rng.standard_normal((1000, 8)).astype(np.float32)
+    q = rng.standard_normal((16, 8)).astype(np.float32)
+    base = [np.arange(0, 600, dtype=np.int32), np.arange(400, 1000, dtype=np.int32)]
+    router = centroid_router(pts, base)
+    engine = ServingEngine(pts, base, np.asarray(router.points),
+                           router.labels_np, pad_multiple=128)
+    assert engine.overlapping
+    d, i = engine.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
+    for row in i:
+        row = row[row >= 0]
+        assert len(np.unique(row)) == len(row)  # no duplicate ids returned
