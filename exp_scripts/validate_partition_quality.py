@@ -1,0 +1,75 @@
+"""Partition-quality validation: oracle + routed recall curves per method.
+
+The quality gate from SURVEY.md §7 (M3): GP must beat the k-means family on
+first-probe oracle recall, and everything must beat Random by a wide margin —
+the paper's own headline comparison, reproduced on synthetic DEEP-like data.
+
+Writes ``exp_outputs/partition_quality.csv`` with schema
+``method,num probes,recall,type`` (type in {oracle, routed}).
+
+Usage: python exp_scripts/validate_partition_quality.py [n] [k]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    shards = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    k = 10
+    rng = np.random.default_rng(555)
+    nb = 64
+    d = 96
+    centers = rng.standard_normal((nb, d)).astype(np.float32) * 2.0
+    lbl = rng.integers(0, nb, size=n)
+    pts = (centers[lbl] + 0.6 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (centers[rng.integers(0, nb, size=1024)]
+         + 0.6 * rng.standard_normal((1024, d))).astype(np.float32)
+
+    from gpann_tpu.eval import compute_ground_truth, oracle_recall
+    from gpann_tpu.gp import api
+    from gpann_tpu.core.partition import clusters_to_partition, cluster_sizes
+    from gpann_tpu.route import centroid_router
+    from gpann_tpu.cli.oracle_recall import recall_for_increasing_probes
+    from gpann_tpu.core.partition import clusters_to_cover
+
+    gt_ids, _ = compute_ground_truth(pts, q, k)
+    rows = ["method,num probes,recall,type"]
+    for method in ("GP", "BalancedKMeans", "Random"):
+        t0 = time.time()
+        clusters = api.partition(pts, shards, method)
+        dt = time.time() - t0
+        sizes = cluster_sizes(clusters)
+        part = clusters_to_partition(clusters, n)
+        curve = oracle_recall(gt_ids, partition=part)
+        print(f"{method}: build {dt:.0f}s sizes {sizes.min()}-{sizes.max()} "
+              f"oracle@1 {curve[0]:.4f}", flush=True)
+        for j, r in enumerate(curve):
+            rows.append(f"{method},{j + 1},{r:.4f},oracle")
+        # routed recall: centroid router (single-center, the cheap baseline)
+        router = centroid_router(pts, clusters)
+        probes = router.query(q, rule="min_dist")
+        cover = clusters_to_cover(clusters, n=n)
+        routed = recall_for_increasing_probes(
+            list(probes), cover, gt_ids, k, shards
+        )
+        for j, r in enumerate(routed):
+            rows.append(f"{method},{j + 1},{r:.4f},routed")
+        print(f"{method}: routed@1 {routed[0]:.4f} @4 {routed[3]:.4f}", flush=True)
+
+    os.makedirs("exp_outputs", exist_ok=True)
+    out = "exp_outputs/partition_quality.csv"
+    with open(out, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
