@@ -50,14 +50,17 @@ def test_serve_full_probes_exact(setup):
     assert recall_from_ids(pts, q, fi, kth, 10) == 1.0
 
 
-@pytest.mark.parametrize("rule", ["pyramid", "spann", "frequency"])
-def test_serve_rules_run_and_recall(setup, rule):
+@pytest.mark.parametrize("rule,floor", [("pyramid", 0.8), ("spann", 0.5),
+                                        ("frequency", 0.8)])
+def test_serve_rules_run_and_recall(setup, rule, floor):
+    # spann deliberately prunes probes within (1+eps)*closest — lower recall
+    # at equal nprobes is its design point (hnsw_router.h:76-85)
     pts, q, gt_ids, gt_dists, clusters, router, engine = setup
     kth = kth_neighbor_distance(gt_dists, 10)
     _, fi = engine.serve(q, k=10, nprobes=4, voting_t=8, rule=rule,
                          query_block=32)
     rec = recall_from_ids(pts, q, fi, kth, 10)
-    assert rec > 0.8, (rule, rec)
+    assert rec > floor, (rule, rec)
 
 
 def test_serve_single_probe(setup):
