@@ -23,7 +23,6 @@ The per-device compute reuses the single-chip fused scan+rescore kernels.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

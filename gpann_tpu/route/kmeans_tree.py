@@ -27,8 +27,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from gpann_tpu.cluster.kmeans import kmeans, random_sample
-from gpann_tpu.core.distances import Metric, assign_closest
+from gpann_tpu.cluster.kmeans import kmeans
+from gpann_tpu.core.distances import Metric
 from gpann_tpu.core.partition import Clusters
 from gpann_tpu.route.flat import FlatRouter
 

@@ -14,7 +14,7 @@ run_query_attribution.cpp:68-69).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
@@ -22,13 +22,6 @@ from gpann_tpu.core.distances import Metric
 from gpann_tpu.core.partition import Clusters
 from gpann_tpu.core.timer import time_fn
 from gpann_tpu.eval.combination import RoutingConfig
-from gpann_tpu.route.flat import (
-    FlatRouter,
-    rank_frequency,
-    rank_min_dist,
-    rank_pyramid,
-    rank_spann,
-)
 from gpann_tpu.route.kmeans_tree import KMeansTreeRouter, KMeansTreeRouterOptions
 
 VOTING_NEIGHBORS = (20, 40, 80, 120, 250, 500)  # routes.cpp:36,229

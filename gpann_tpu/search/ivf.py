@@ -31,13 +31,13 @@ Three query paths:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpann_tpu.core.distances import Metric, pairwise_distances, sq_norms
+from gpann_tpu.core.distances import Metric, sq_norms
 from gpann_tpu.core.partition import Clusters
 
 

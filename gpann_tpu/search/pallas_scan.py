@@ -21,7 +21,7 @@ the dot is chunked inside the kernel to bound VMEM.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

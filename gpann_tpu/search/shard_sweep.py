@@ -13,7 +13,7 @@ device sync, with hits extracted by the identical dist <= d_k rule.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -19,12 +19,12 @@ reuse the IVF kernels unchanged.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-from gpann_tpu.cluster.kmeans import balanced_kmeans, kmeans
-from gpann_tpu.core.distances import Metric, topk_neighbors
+from gpann_tpu.cluster.kmeans import balanced_kmeans
+from gpann_tpu.core.distances import Metric
 from gpann_tpu.core.partition import Clusters
 from gpann_tpu.search.ivf import IVFIndex
 
