@@ -117,14 +117,22 @@ class ApproximateKNNGraphBuilder:
     def _closest_leaders(
         self, points: np.ndarray, ids: np.ndarray, leaders: np.ndarray, fanout: int
     ) -> np.ndarray:
-        """[len(ids), fanout] leader indices (into ``leaders``) per point."""
+        """[len(ids), fanout] leader indices (into ``leaders``) per point.
+
+        The query side is padded to power-of-two row buckets so the recursion
+        reuses O(log n) compiled shapes instead of one per node (each fresh
+        compile costs 20-75 s on this backend)."""
+        m = len(ids)
+        m_pad = max(256, 1 << (m - 1).bit_length())
+        qpts = np.zeros((m_pad, points.shape[1]), np.float32)
+        qpts[:m] = points[ids]
         _, idx = topk_neighbors(
-            jnp.asarray(points[ids]),
+            jnp.asarray(qpts),
             jnp.asarray(points[leaders]),
             min(fanout, len(leaders)),
             metric=self.metric,
         )
-        return np.asarray(idx)
+        return np.asarray(idx)[:m]
 
     def _sketch(
         self, points: np.ndarray, ids: np.ndarray, depth: int, fanout: int,
@@ -137,7 +145,11 @@ class ApproximateKNNGraphBuilder:
             if depth == 0
             else int(len(ids) * self.FRACTION_LEADERS)
         )
-        num_leaders = max(3, min(num_leaders, self.MAX_NUM_LEADERS))
+        num_leaders = max(4, min(num_leaders, self.MAX_NUM_LEADERS))
+        # round the leader count to a power of two: it is a sampling-size
+        # heuristic (knn_graph.h:62-67), and shape bucketing bounds compiles
+        num_leaders = 1 << (num_leaders - 1).bit_length()
+        num_leaders = min(num_leaders, len(ids))
         leaders = rng.choice(ids, size=num_leaders, replace=False)
 
         closest = self._closest_leaders(points, ids, leaders, fanout)
