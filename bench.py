@@ -179,7 +179,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": f"qps_per_chip@recall{TARGET_RECALL}_synthetic-deep1M",
+                "metric": f"qps_per_chip@recall{TARGET_RECALL}_synthetic-deep{N//1_000_000}M-{SHARDS}shards",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / brute_qps, 3),
