@@ -320,10 +320,6 @@ def our_pyramid_partitioning(
     coarsening_rate = max(coarsening_rate, min(1.0, 16.0 * num_clusters / max(n, 1)))
     cells, routing_points = hierarchical_kmeans(points, coarsening_rate, metric, seed)
     weights = np.bincount(cells, minlength=len(routing_points)).astype(np.float32)
-    if routing_index_path:
-        from gpann_tpu.route.flat import FlatRouter
-
-        # labels filled after partitioning below; save the raw points for parity
     if len(routing_points) > 5000:
         builder = ApproximateKNNGraphBuilder(metric=metric, seed=seed)
         rp_graph = builder.build(routing_points, degree)

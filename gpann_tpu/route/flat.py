@@ -48,7 +48,13 @@ def rank_min_dist(min_d: np.ndarray) -> np.ndarray:
 
 
 def rank_pyramid(min_d: np.ndarray) -> np.ndarray:
-    """Only shards seen among the neighbors (hnsw_router.h:66-74); -1 padded."""
+    """Only shards seen among the neighbors (hnsw_router.h:66-74); -1 padded.
+
+    Set-identical to the reference. Intra-list order deviates deliberately:
+    the reference emits seen shards in shard-index order but consumes the
+    list as a SET (try_increasing_num_shards=false, routes.cpp:74); we emit
+    min-dist order, which is strictly better under prefix sweeps.
+    """
     order = np.argsort(min_d, axis=1, kind="stable").astype(np.int32)
     seen = np.isfinite(np.take_along_axis(min_d, order, axis=1))
     return np.where(seen, order, -1)
@@ -59,6 +65,8 @@ def rank_spann(min_d: np.ndarray, eps: float = 0.6) -> np.ndarray:
 
     Matches the reference's handling of non-negative distances (L2^2; MIPS
     distances are shifted by the caller if negative values are possible).
+    Set-identical to the reference; emitted in min-dist order rather than its
+    shard-index order (the list is consumed as a set — see rank_pyramid).
     """
     order = np.argsort(min_d, axis=1, kind="stable").astype(np.int32)
     sorted_d = np.take_along_axis(min_d, order, axis=1)
@@ -69,13 +77,16 @@ def rank_spann(min_d: np.ndarray, eps: float = 0.6) -> np.ndarray:
 
 
 def rank_frequency(freq: np.ndarray, min_d: np.ndarray) -> np.ndarray:
-    """Shards by descending vote count, min-dist tie-break
-    (hnsw_router.h:87-103); unseen shards trail in min-dist order."""
+    """Reference FrequencyQuery (hnsw_router.h:87-103): ONLY the single
+    highest-frequency shard goes first (ties -> lowest index, matching the
+    reference's strict ``>`` scan); every remaining shard — seen or not — is
+    ordered purely by min_dist."""
     m, s = freq.shape
-    finite_d = np.where(np.isfinite(min_d), min_d, np.float64(1e30))
-    # lexsort: primary = -freq, secondary = min_d
-    order = np.lexsort((finite_d, -freq), axis=1).astype(np.int32)
-    return order
+    finite_d = np.where(np.isfinite(min_d), min_d, np.float64(3e38))
+    top = np.argmax(freq, axis=1)
+    key = finite_d.copy()
+    key[np.arange(m), top] = -np.inf
+    return np.argsort(key, axis=1, kind="stable").astype(np.int32)
 
 
 class FlatRouter:

@@ -35,12 +35,16 @@ from gpann_tpu.route.flat import FlatRouter
 
 @dataclass
 class KMeansTreeRouterOptions:
-    """Defaults mirror reference ``kmeans_tree_router.h:6-11``."""
+    """Defaults match reference ``kmeans_tree_router.h:6-11`` exactly
+    (num_centroids=64, min_cluster_size=250, budget=50000,
+    search_budget=50000). ``search_budget`` is unused by the flat
+    extracted-centroid scan (which examines every routing point exactly
+    once) but kept for config parity."""
 
     num_centroids: int = 64
-    min_cluster_size: int = 350
+    min_cluster_size: int = 250
     budget: int = 50_000
-    search_budget: int = 5_000
+    search_budget: int = 50_000
 
 
 def _bucket_pad(points: np.ndarray, min_size: int = 256) -> np.ndarray:

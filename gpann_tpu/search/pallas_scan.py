@@ -117,6 +117,11 @@ def binmin_scan(
     [all min1 | all min2] halves.
     """
     m = qs.shape[0]
+    if m % tq:
+        raise ValueError(
+            f"query count {m} must be a multiple of tq={tq} — trailing rows "
+            "would never be written (fused_topk pads for you)"
+        )
     # HBM DMA slices need the minor dim aligned to the 128-lane tiling; zero
     # column padding changes no distance (callers may pre-pad to avoid the
     # copy — pad_base_for_scan does). qs and base may arrive with different
@@ -138,7 +143,7 @@ def binmin_scan(
         in_specs=[
             pl.BlockSpec((tq, d), lambda i, j: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((tq, nbin_t), lambda i, j: (i, j)),
@@ -196,8 +201,13 @@ def fused_topk(
         base = jnp.pad(base, ((0, 0), (0, d_pad - base.shape[1])))
     if qs.shape[1] != base.shape[1]:
         qs = jnp.pad(qs, ((0, 0), (0, base.shape[1] - qs.shape[1])))
+    m = qs.shape[0]
+    if m % tq:  # pad query rows to the grid; sliced off below
+        qs = jnp.pad(qs, ((0, -(-m // tq) * tq - m), (0, 0)))
     mins, argmins = binmin_scan(qs, base, n_valid, metric, tq=tq, tc=tc,
                                 interpret=interpret)
+    if mins.shape[0] != m:
+        qs, mins, argmins = qs[:m], mins[:m], argmins[:m]
     nc = min(nc, mins.shape[1])
     negb, bpos = jax.lax.top_k(-mins, nc)
     cand_cols = jnp.take_along_axis(argmins, bpos, axis=1)

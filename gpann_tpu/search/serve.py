@@ -35,6 +35,67 @@ from gpann_tpu.core.partition import Clusters
 from gpann_tpu.search.ivf import _exact_rescore, _round_up, _scan_k
 
 
+def _probe_rank(queries, router_points, router_labels, router_sq, *,
+                s, voting_t, rule, spann_eps, nprobes, metric, precision,
+                voting_impl):
+    """Probe list [m, nprobes] under the reference's vote semantics.
+
+    (min_dist, frequency) are folded over ONLY the top ``voting_t`` routing
+    points — ``hnsw_router.h:106-119``: ``searchKnn(Q, num_voting_neighbors)``
+    then per-shard min/count over that set. Slots a rule cuts short point at
+    the dummy shard ``s`` (size 0, skipped by the scan).
+    """
+    m = queries.shape[0]
+    rdots = jnp.dot(queries, router_points.T,
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+    if metric == "mips":
+        rdm = 1.0 - rdots
+    else:
+        rdm = sq_norms(queries)[:, None] + router_sq[None, :] - 2.0 * rdots
+    t = min(voting_t, router_points.shape[0])
+    if voting_impl == "approx":
+        # TPU-native partial-reduction top-k; like the reference's HNSW
+        # walk, the vote set is itself approximate
+        neg, nidx = jax.lax.approx_max_k(-rdm, t, recall_target=0.95)
+    else:
+        neg, nidx = jax.lax.top_k(-rdm, t)
+    ndist = -neg
+    nshard = router_labels[nidx]
+    row = jnp.arange(m)[:, None]
+    min_d = jnp.full((m, s), jnp.inf).at[row, nshard].min(ndist)
+    # unseen shards keep +inf min_dist; sort keys use a finite big number so
+    # argsort is stable across backends
+    dkey = jnp.where(jnp.isfinite(min_d), min_d, jnp.float32(3e38))
+    if rule == "frequency":
+        # reference FrequencyQuery (hnsw_router.h:87-103): ONLY the single
+        # highest-frequency shard goes first (ties -> lowest index, matching
+        # the strict > scan); every remaining shard is ordered purely by
+        # min_dist
+        freq = jnp.zeros((m, s), jnp.int32).at[row, nshard].add(1)
+        top = jnp.argmax(freq, axis=1)
+        key = dkey.at[jnp.arange(m), top].set(-jnp.inf)
+        order = jnp.argsort(key, axis=1, stable=True)
+        seen = jnp.ones((m, s), bool)  # probes all shards
+    else:
+        order = jnp.argsort(dkey, axis=1, stable=True)
+        sorted_d = jnp.take_along_axis(min_d, order, axis=1)
+        if rule == "pyramid":
+            # shards seen among the voting neighbors (hnsw_router.h:66-74);
+            # the reference emits them in index order but consumes the list
+            # as a SET (try_increasing_num_shards=false, routes.cpp:74) — we
+            # emit distance order, identical set
+            seen = jnp.isfinite(sorted_d)
+        elif rule == "spann":
+            closest = sorted_d[:, :1]
+            seen = jnp.isfinite(sorted_d) & (
+                sorted_d <= (1.0 + spann_eps) * closest
+            )
+        else:  # min_dist probes every requested shard (:59-64)
+            seen = jnp.ones_like(sorted_d, bool)
+    return jnp.where(seen, order, s)[:, :nprobes].astype(jnp.int32)
+
+
 class ServingEngine:
     """Resident shard blocks + routing points; fused serve() per config."""
 
@@ -50,15 +111,23 @@ class ServingEngine:
         rescore: bool = True,
         scan_mode: str = "exact",
         interpret: bool = False,
+        voting_impl: str = "exact",
     ) -> None:
         """``scan_mode``: "exact" = XLA top_k over the full distance tile
         (exact in-shard top-k); "binned" = Pallas bin-top-2 kernel
-        (pallas_scan.py) — ~5x faster shard scans at recall@10 > 0.999."""
+        (pallas_scan.py) — ~5x faster shard scans at recall@10 > 0.999.
+
+        ``voting_impl``: "exact" = ``lax.top_k`` vote set; "approx" =
+        ``lax.approx_max_k`` (TPU partial-reduction top-k) — faster routing
+        with an approximate vote set, mirroring the reference's approximate
+        HNSW vote set (hnsw_router.h:106).
+        """
         self.metric: Metric = metric
         self.precision = default_precision() if precision is None else precision
         self.rescore = rescore
         self.scan_mode = scan_mode
         self.interpret = interpret
+        self.voting_impl = voting_impl
         self.num_shards = len(clusters)
         sizes = np.asarray([len(c) for c in clusters], np.int32)
         all_ids = (
@@ -87,22 +156,14 @@ class ServingEngine:
         self.shard_ids = jnp.asarray(ids)
         self.router_points = jnp.asarray(routing_points, jnp.float32)
         self.router_labels = jnp.asarray(routing_labels, jnp.int32)
-        # shard-major routing blocks for the min_dist rule: per-shard min is
-        # a masked reduction per block — no top_k (its k>16 path is slow)
-        routing_labels = np.asarray(routing_labels)
-        r_counts = np.bincount(routing_labels, minlength=self.num_shards)
-        r_pad = _round_up(max(int(r_counts.max()), 1), 128)
-        r_blocks = np.zeros((self.num_shards, r_pad, routing_points.shape[1]),
-                            np.float32)
-        r_bsq = np.full((self.num_shards, r_pad), np.inf, np.float32)
-        for b in range(self.num_shards):
-            members = np.nonzero(routing_labels == b)[0]
-            r_blocks[b, : len(members)] = routing_points[members]
-            r_bsq[b, : len(members)] = (
-                (routing_points[members].astype(np.float64) ** 2).sum(1)
-            ).astype(np.float32)
-        self.router_blocks = jnp.asarray(r_blocks)
-        self.router_bsq = jnp.asarray(r_bsq)
+        # exact f32 squared norms of the routing points (computed in f64 on
+        # host): the routing distance matrix must rank correctly despite the
+        # chip's bf16 default (see core/distances.py::default_precision)
+        self.router_sq = jnp.asarray(
+            (np.asarray(routing_points, np.float64) ** 2).sum(1).astype(
+                np.float32
+            )
+        )
         self._fns: dict = {}
 
     # -- compiled pipeline -----------------------------------------------------
@@ -122,70 +183,18 @@ class ServingEngine:
             if 2 * (self.max_size // BIN + 1) < 4 * k:
                 scan_mode = "exact"
 
+        voting_impl = self.voting_impl
+
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
-                     router_points, router_labels,
-                     router_blocks, router_bsq):
+                     router_points, router_labels, router_sq):
             m = queries.shape[0]
             # ---- route ----
-            if rule in ("min_dist", "pyramid", "spann"):
-                # per-shard min distance via masked block reductions — no
-                # top_k (slow for k>16) and no scatter
-                q_sq = sq_norms(queries) if metric == "l2" else None
-
-                def shard_min(carry, inp):
-                    blk, bbsq = inp
-                    dots = jnp.dot(queries, blk.T,
-                                   preferred_element_type=jnp.float32,
-                                   precision=precision)
-                    if metric == "mips":
-                        dmb = 1.0 - dots
-                    else:
-                        dmb = q_sq[:, None] + bbsq[None, :] - 2.0 * dots
-                    dmb = jnp.where(jnp.isfinite(bbsq)[None, :], dmb, jnp.inf)
-                    return carry, jnp.min(dmb, axis=1)
-
-                _, mins = jax.lax.scan(
-                    shard_min, None, (router_blocks, router_bsq)
-                )
-                min_d = mins.T  # [m, s]
-            else:
-                rdots = jnp.dot(queries, router_points.T,
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
-                if metric == "mips":
-                    rdm = 1.0 - rdots
-                else:
-                    rdm = (sq_norms(queries)[:, None]
-                           + sq_norms(router_points)[None, :] - 2.0 * rdots)
-                t = min(voting_t, router_points.shape[0])
-                neg, nidx = jax.lax.top_k(-rdm, t)
-                ndist = -neg
-                nshard = router_labels[nidx]
-                row = jnp.arange(m)[:, None]
-                min_d = jnp.full((m, s), jnp.inf).at[row, nshard].min(ndist)
-            if rule == "frequency":
-                freq = jnp.zeros((m, s), jnp.int32).at[row, nshard].add(1)
-                by_d = jnp.argsort(
-                    jnp.where(jnp.isfinite(min_d), min_d, 1e30), axis=1,
-                    stable=True,
-                )
-                f_sorted = jnp.take_along_axis(freq, by_d, axis=1)
-                by_f = jnp.argsort(-f_sorted, axis=1, stable=True)
-                order = jnp.take_along_axis(by_d, by_f, axis=1)
-                seen = jnp.take_along_axis(freq, order, axis=1) > 0
-            else:
-                order = jnp.argsort(min_d, axis=1, stable=True)
-                sorted_d = jnp.take_along_axis(min_d, order, axis=1)
-                if rule == "pyramid":
-                    seen = jnp.isfinite(sorted_d)
-                elif rule == "spann":
-                    closest = sorted_d[:, :1]
-                    seen = jnp.isfinite(sorted_d) & (
-                        sorted_d <= (1.0 + spann_eps) * closest
-                    )
-                else:  # min_dist probes every requested shard
-                    seen = jnp.ones_like(sorted_d, bool)
-            probes = jnp.where(seen, order, s)[:, :nprobes].astype(jnp.int32)
+            probes = _probe_rank(
+                queries, router_points, router_labels, router_sq,
+                s=s, voting_t=voting_t, rule=rule, spann_eps=spann_eps,
+                nprobes=nprobes, metric=metric, precision=precision,
+                voting_impl=voting_impl,
+            )
 
             # ---- group (static shapes) ----
             mn = m * nprobes
@@ -302,6 +311,22 @@ class ServingEngine:
 
         return jax.jit(pipeline)
 
+    def _build_probe(self, nprobes: int, voting_t: int, rule: str,
+                     spann_eps: float):
+        s = self.num_shards
+        metric, precision = self.metric, self.precision
+        voting_impl = self.voting_impl
+
+        def route(queries, router_points, router_labels, router_sq):
+            return _probe_rank(
+                queries, router_points, router_labels, router_sq,
+                s=s, voting_t=voting_t, rule=rule, spann_eps=spann_eps,
+                nprobes=nprobes, metric=metric, precision=precision,
+                voting_impl=voting_impl,
+            )
+
+        return jax.jit(route)
+
     def serve_device(
         self,
         queries,
@@ -327,8 +352,7 @@ class ServingEngine:
             self.shard_ids,
             self.router_points,
             self.router_labels,
-            self.router_blocks,
-            self.router_bsq,
+            self.router_sq,
         )
 
     def serve(
@@ -354,7 +378,28 @@ class ServingEngine:
             self.shard_ids,
             self.router_points,
             self.router_labels,
-            self.router_blocks,
-            self.router_bsq,
+            self.router_sq,
         )
         return np.asarray(d), np.asarray(i)
+
+    def probe_order(
+        self,
+        queries,
+        nprobes: int,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        spann_eps: float = 0.6,
+    ) -> np.ndarray:
+        """The probe list [m, nprobes] the fused pipeline would scan (dummy
+        shard ``num_shards`` where a rule cuts the list short) — for parity
+        checks against :class:`gpann_tpu.route.FlatRouter`."""
+        key = ("probe", nprobes, voting_t, rule, spann_eps)
+        if key not in self._fns:
+            self._fns[key] = self._build_probe(nprobes, voting_t, rule,
+                                               spann_eps)
+        return np.asarray(self._fns[key](
+            jnp.asarray(queries, jnp.float32),
+            self.router_points,
+            self.router_labels,
+            self.router_sq,
+        ))

@@ -63,6 +63,32 @@ def test_serve_rules_run_and_recall(setup, rule, floor):
     assert rec > floor, (rule, rec)
 
 
+@pytest.mark.parametrize("rule", ["min_dist", "pyramid", "spann",
+                                  "frequency"])
+def test_engine_probe_order_matches_flat_router(setup, rule):
+    """The fused engine's probe ranking must equal FlatRouter's for all four
+    rules (both implement hnsw_router.h:55-104 with top-T vote folding)."""
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    rng = np.random.default_rng(7)
+    # a routing set with several points per shard so voting_t actually cuts
+    sample = rng.choice(len(pts), size=256, replace=False)
+    assign = np.concatenate(
+        [np.full(len(c), b, np.int32) for b, c in enumerate(clusters)]
+    )
+    order = np.concatenate([np.asarray(c, np.int64) for c in clusters])
+    point_shard = np.empty(len(pts), np.int32)
+    point_shard[order] = assign
+    rpts, rlbl = pts[sample], point_shard[sample]
+    flat = FlatRouter(rpts, rlbl, num_shards=8)
+    eng = ServingEngine(pts, clusters, rpts, rlbl, pad_multiple=128)
+    got = eng.probe_order(q, nprobes=8, voting_t=16, rule=rule)
+    want = flat.query(q, num_voting_neighbors=16, rule=rule)
+    # FlatRouter pads cut slots with -1; the engine points them at the dummy
+    # shard id 8
+    want = np.where(want < 0, 8, want)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_serve_single_probe(setup):
     pts, q, gt_ids, gt_dists, clusters, router, engine = setup
     fd, fi = engine.serve(q, k=10, nprobes=1, voting_t=8, query_block=32)
