@@ -12,8 +12,18 @@ balanced k-means partition -> k-means-tree router (extracted points, flat
 MXU scan) -> fused serving engine with the Pallas bin-top-2 scan kernel
 (route + group + scan + merge in one XLA program; exact f32 candidate
 rescore).
-The probe count is the smallest reaching recall@10 >= 0.95; QPS is measured
-end-to-end (routing + search) on the device with median-of-reps timing.
+
+Runtime discipline (this script must finish unattended inside the driver
+budget; compiles on this backend cost 20-75 s EACH):
+- nprobes selection never recompiles per value: ServingEngine.recall_curve
+  returns recall@10 for every probe prefix 1..SHARDS from ONE compiled
+  program, and the chosen nprobes is cached alongside the ground truth.
+- Every deterministic artifact (GT, partition, routing points, curve) is
+  cached in ~/.cache/gpann_tpu/bench_*.npz, like the reference caches ground
+  truth (run_query_attribution.cpp:46-55). Warm rerun compiles at most two
+  programs (curve + serve at the chosen config, usually cached on disk too).
+- Cold partition trains centroids on a 1M subsample (the reference's own
+  big-input strategy, partitioning.cpp:271-276 for Pyramid).
 
 ``vs_baseline`` = measured QPS / brute-force full-scan QPS on the same chip —
 the throughput multiple the partitioned GP-ANN design buys over exact
@@ -26,6 +36,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -34,52 +45,59 @@ import numpy as np
 N, D, NQ, SHARDS, K = 8_000_000, 96, 4096, 32, 10
 TARGET_RECALL = 0.95
 SEED = 555
+VOTING_T = 60
+RULE = "min_dist"
+
+_T0 = time.time()
+
+
+def log(msg: str) -> None:
+    print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> int:
-    import jax
     import jax.numpy as jnp
 
     from gpann_tpu.cluster import balanced_kmeans
     from gpann_tpu.core.partition import partition_to_clusters
-    from gpann_tpu.core.timer import time_fn
-    from gpann_tpu.core.distances import topk_neighbors
-    from gpann_tpu.eval import (
-        compute_ground_truth,
-        kth_neighbor_distance,
-        recall_from_ids,
-    )
+    from gpann_tpu.eval import kth_neighbor_distance, recall_from_ids
     from gpann_tpu.route import KMeansTreeRouter, KMeansTreeRouterOptions
-
-    rng = np.random.default_rng(SEED)
-    num_blobs = 64
-    centers = rng.standard_normal((num_blobs, D)).astype(np.float32) * 2.0
-    lbl = rng.integers(0, num_blobs, size=N)
-    pts = (centers[lbl] + 0.6 * rng.standard_normal((N, D))).astype(np.float32)
-    q = (
-        centers[rng.integers(0, num_blobs, size=NQ)]
-        + 0.6 * rng.standard_normal((NQ, D))
-    ).astype(np.float32)
-    print(f"# data ready: {pts.shape}", file=sys.stderr)
-
-    # GT + partition are deterministic functions of (SEED, N, D, NQ, SHARDS):
-    # cache them like the reference caches ground truth
-    # (run_query_attribution.cpp:46-55) so bench reruns measure serving only
-    import os
+    from gpann_tpu.search.serve import ServingEngine
 
     cache_dir = os.path.expanduser("~/.cache/gpann_tpu")
     os.makedirs(cache_dir, exist_ok=True)
-    cache = os.path.join(cache_dir, f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
-    if os.path.exists(cache):
-        z = np.load(cache)
-        gt_ids, gt_dists, assign = z["gt_ids"], z["gt_dists"], z["assign"]
-        build_time = float(z["build_time"])
-        print("# gt+partition loaded from cache", file=sys.stderr)
+    pts_cache = os.path.join(cache_dir, f"bench_pts_{SEED}_{N}_{D}_{NQ}.npy")
+    q_cache = os.path.join(cache_dir, f"bench_q_{SEED}_{N}_{D}_{NQ}.npy")
+    if os.path.exists(pts_cache) and os.path.exists(q_cache):
+        # memmap: the engine's per-shard gathers and the brute baseline's
+        # padding read straight from page cache, no 3 GB materialization
+        pts = np.load(pts_cache, mmap_mode="r")
+        q = np.load(q_cache)
+        log(f"data loaded from cache: {pts.shape}")
     else:
+        rng = np.random.default_rng(SEED)
+        num_blobs = 64
+        centers = rng.standard_normal((num_blobs, D)).astype(np.float32) * 2.0
+        lbl = rng.integers(0, num_blobs, size=N)
+        pts = (centers[lbl]
+               + 0.6 * rng.standard_normal((N, D))).astype(np.float32)
+        q = (
+            centers[rng.integers(0, num_blobs, size=NQ)]
+            + 0.6 * rng.standard_normal((NQ, D))
+        ).astype(np.float32)
+        np.save(pts_cache, pts)
+        np.save(q_cache, q)
+        log(f"data generated + cached: {pts.shape}")
+
+    # deterministic artifacts cached per config (SEED, N, D, NQ, SHARDS)
+    cache = os.path.join(cache_dir, f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
+    art = dict(np.load(cache)) if os.path.exists(cache) else {}
+    dirty = False
+
+    if "gt_ids" not in art:
         # GT via the pallas kernel + exact re-sort: recall@10 of the scan is
-        # 0.9999 (top-2-per-bin), i.e. <=0.01% of kth distances are
-        # negligibly off — far tighter than the tolerances the reference
-        # accepts when verifying published GT (recall.h:74-137)
+        # 0.9999 (top-2-per-bin) — far tighter than the tolerances the
+        # reference accepts when verifying published GT (recall.h:74-137)
         from gpann_tpu.eval.recall import verify_ground_truth
         from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
 
@@ -89,64 +107,76 @@ def main() -> int:
         gt_ids, gt_dists = verify_ground_truth(
             pts, q, gt_raw.astype(np.int64), np.full(gt_raw.shape, np.nan)
         )
-        gt_ids, gt_dists = gt_ids[:, :K], gt_dists[:, :K]
+        art["gt_ids"], art["gt_dists"] = gt_ids[:, :K], gt_dists[:, :K]
         del pj0, padded0
-        print("# ground truth done", file=sys.stderr)
+        dirty = True
+        log("ground truth computed")
+    if "assign" not in art:
         t0 = time.time()
-        _, assign = balanced_kmeans(pts, k=SHARDS, eps=0.05, seed=SEED)
-        build_time = time.time() - t0
-        print(f"# partition done in {build_time:.1f}s", file=sys.stderr)
-        np.savez(cache, gt_ids=gt_ids, gt_dists=gt_dists, assign=assign,
-                 build_time=build_time)
-    kth = kth_neighbor_distance(gt_dists, K)
-    clusters = partition_to_clusters(assign, SHARDS)
+        _, assign = balanced_kmeans(
+            pts, k=SHARDS, eps=0.05, seed=SEED,
+            train_sample=1_000_000, refine_rounds=5,
+        )
+        art["assign"] = assign
+        art["build_time"] = np.float64(time.time() - t0)
+        dirty = True
+        log(f"partition computed in {float(art['build_time']):.1f}s")
+    kth = kth_neighbor_distance(art["gt_dists"], K)
+    clusters = partition_to_clusters(art["assign"], SHARDS)
 
-    opts = KMeansTreeRouterOptions(num_centroids=32, budget=40_000)
-    kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=SEED)
-    rp, labels = kmtr.extract_points()
-    print(f"# router ready ({len(rp)} routing points)", file=sys.stderr)
+    if "routing_points" not in art:
+        opts = KMeansTreeRouterOptions(num_centroids=32, budget=40_000)
+        kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=SEED)
+        art["routing_points"], art["routing_labels"] = kmtr.extract_points()
+        dirty = True
+        log(f"router trained ({len(art['routing_points'])} routing points)")
+    if dirty:
+        np.savez(cache, **art)
+        log("artifact cache saved")
 
-    from gpann_tpu.search.serve import ServingEngine
-
-    engine = ServingEngine(pts, clusters, rp, labels, scan_mode="binned")
+    engine = ServingEngine(
+        pts, clusters, art["routing_points"], art["routing_labels"],
+        scan_mode="binned",
+    )
     q_dev = jnp.asarray(q)  # queries resident on device (one upload)
+    log("engine resident")
 
-    def serve(queries, nprobes):
-        return engine.serve(queries, K, nprobes, voting_t=60, rule="min_dist")
+    if "nprobes" not in art:
+        curve = engine.recall_curve(q_dev, K, kth, voting_t=VOTING_T,
+                                    rule=RULE)
+        ok = np.nonzero(curve >= TARGET_RECALL)[0]
+        art["nprobes"] = np.int64(ok[0] + 1 if len(ok) else SHARDS)
+        art["curve"] = curve
+        np.savez(cache, **art)
+        log("recall curve: "
+            + " ".join(f"{p + 1}:{r:.4f}" for p, r in enumerate(curve)))
+    nprobes = int(art["nprobes"])
 
-    chosen = None
-    for nprobes in range(1, SHARDS + 1):
-        _, ii = serve(q_dev, nprobes)
-        rec = recall_from_ids(pts, q, ii, kth, K)
-        print(f"# nprobes={nprobes} recall={rec:.4f}", file=sys.stderr)
-        if rec >= TARGET_RECALL:
-            chosen = (nprobes, rec)
-            break
-    if chosen is None:
-        chosen = (SHARDS, rec)
-    nprobes, recall = chosen
-
-    lat, _ = time_fn(serve, q_dev, nprobes, reps=5, warmup=2)
+    # the measured program (serve/serve_device share one compiled fn)
+    d0, i0 = engine.serve(q_dev, K, nprobes, voting_t=VOTING_T, rule=RULE)
+    recall = recall_from_ids(pts, q, i0, kth, K)
+    log(f"nprobes={nprobes} recall={recall:.4f} (serve program compiled)")
 
     # pipelined throughput: batches dispatched back-to-back, results chained
-    # on device, ONE final readback — the steady-state serving number (the
-    # per-batch D2H readback above costs ~50 ms of tunnel round-trip that a
-    # real pipeline overlaps with compute)
-    def serve_dev(nprobes):
-        return engine.serve_device(q_dev, K, nprobes, voting_t=60,
-                                   rule="min_dist")
+    # on device, ONE final readback — the steady-state serving number (a
+    # per-batch D2H readback costs ~50 ms of tunnel round-trip that a real
+    # pipeline overlaps with compute)
+    def serve_dev():
+        return engine.serve_device(q_dev, K, nprobes, voting_t=VOTING_T,
+                                   rule=RULE)
 
-    d0, _ = serve_dev(nprobes)
+    d0, _ = serve_dev()
     float(jnp.sum(jnp.where(jnp.isfinite(d0), d0, 0.0)))  # warm + sync
     reps = 10
     t0 = time.time()
     acc = None
     for _ in range(reps):
-        d0, _ = serve_dev(nprobes)
+        d0, _ = serve_dev()
         acc = d0 if acc is None else acc + d0
     float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))  # sync
     pipelined_lat = (time.time() - t0) / reps
     qps = NQ / pipelined_lat
+    log(f"serve: {qps:.0f} qps ({pipelined_lat * 1e3:.1f} ms/batch)")
 
     # brute-force full-scan baseline on the same chip, using the SAME scan
     # technology (Pallas bin-top-2 kernel over the whole base) so vs_baseline
@@ -166,31 +196,34 @@ def main() -> int:
         float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))
         brute_lat = (time.time() - t0) / reps
     except Exception as e:  # pallas unavailable: XLA top_k fallback
-        print(f"# pallas brute failed ({e}); XLA fallback", file=sys.stderr)
+        from gpann_tpu.core.distances import topk_neighbors
+        from gpann_tpu.core.timer import time_fn
+
+        log(f"pallas brute failed ({e}); XLA fallback")
         pj = jnp.asarray(pts)
         brute_lat, _ = time_fn(
             lambda: topk_neighbors(q_dev, pj, K), reps=3, warmup=1
         )
         brute_recall = 1.0
     brute_qps = NQ / brute_lat
-    print(f"# brute: {brute_qps:.0f} qps recall={brute_recall:.4f}",
-          file=sys.stderr)
+    log(f"brute: {brute_qps:.0f} qps recall={brute_recall:.4f}")
 
     print(
         json.dumps(
             {
-                "metric": f"qps_per_chip@recall{TARGET_RECALL}_synthetic-deep{N//1_000_000}M-{SHARDS}shards",
+                "metric": f"qps_per_chip@recall{TARGET_RECALL}_synthetic-deep{N // 1_000_000}M-{SHARDS}shards",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / brute_qps, 3),
-                "recall_at_10": round(recall, 4),
+                "recall_at_10": round(float(recall), 4),
                 "nprobes": nprobes,
                 "num_shards": SHARDS,
                 "brute_force_qps": round(brute_qps, 1),
                 "batch": NQ,
-                "batch_latency_with_readback_ms": round(lat * 1e3, 2),
+                "total_seconds": round(time.time() - _T0, 1),
             }
-        )
+        ),
+        flush=True,
     )
     return 0
 

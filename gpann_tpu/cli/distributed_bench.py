@@ -44,29 +44,64 @@ def main(argv=None) -> int:
     k, nprobes = int(k_str), int(nprobes_str)
 
     import jax
+    import jax.numpy as jnp
 
-    from gpann_tpu.dist import DistributedIVF, shard_mesh
+    from gpann_tpu.dist import (
+        DistributedIVF,
+        DistributedServingEngine,
+        shard_mesh,
+    )
     from gpann_tpu.route import centroid_router
 
     points = read_points(point_file)
     queries = read_points(query_file)
     clusters = read_clusters(part_file)
     ndev = len(jax.devices())
-    mesh = shard_mesh(dp=1)
+    dp = 2 if ndev % 2 == 0 and ndev >= 4 else 1
+    mesh = shard_mesh(dp=dp)
     print(f"{ndev} devices; {len(clusters)} shards; mesh {dict(mesh.shape)}")
 
     t0 = time.time()
-    index = DistributedIVF(points, clusters, mesh=mesh, metric=metric)
     router = centroid_router(points, clusters, metric=metric)
+    engine = DistributedServingEngine(
+        points, clusters, np.asarray(router.points), router.labels_np,
+        mesh=mesh, metric=metric,
+    )
     print(f"index built in {time.time() - t0:.1f}s")
 
-    # pad query count to the dp axis
     m = len(queries)
+    microbatch = max(1, min(128, m // max(dp, 1)))
+
+    # fused path: routing happens on-device inside the mesh program
+    d, i = engine.serve(queries, k, nprobes, microbatch=microbatch)
+    print(f"fused serve warm: top1 id of q0 = {i[0, 0]}")
+
+    # measured multi-batch pipelined QPS: dispatch batches back-to-back,
+    # chain results on device, one final readback (the reference pipelines
+    # doubling batches for the same reason, distributed_query_benchmark.h:148)
+    quantum = dp * microbatch
+    mq = -(-m // quantum) * quantum
+    qp = np.zeros((mq, queries.shape[1]), np.float32)
+    qp[:m] = queries
+    q_dev = jnp.asarray(qp)
+    reps = 10
+    t0 = time.time()
+    acc = None
+    for _ in range(reps):
+        d0, _ = engine.serve_device(q_dev, k, nprobes, microbatch=microbatch)
+        acc = d0 if acc is None else acc + d0
+    float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))  # sync
+    lat = (time.time() - t0) / reps
+    qps = mq / lat
+    print(f"fused nprobes={nprobes}: {mq} queries in {lat*1e3:.1f} ms -> "
+          f"{qps:.0f} QPS ({qps/ndev:.0f} QPS/device)")
+
+    # unfused reference point: host-computed probes + collective search
+    index = DistributedIVF(points, clusters, mesh=mesh, metric=metric)
     probes = router.query(queries, rule="min_dist")[:, :nprobes]
     lat, (d, i) = time_fn(index.search_probed, queries, probes, k, reps=5)
-    qps = m / lat
-    print(f"nprobes={nprobes}: {m} queries in {lat*1e3:.1f} ms -> "
-          f"{qps:.0f} QPS ({qps/ndev:.0f} QPS/device)")
+    print(f"unfused nprobes={nprobes}: {m} queries in {lat*1e3:.1f} ms -> "
+          f"{m / lat:.0f} QPS")
     return 0
 
 

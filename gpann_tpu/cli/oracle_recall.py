@@ -25,26 +25,31 @@ from gpann_tpu.eval.combination import deserialize_routes
 
 def recall_for_increasing_probes(probe_orders, cover, gt_ids, k, num_shards):
     """Cumulative recall per probe with cross-probe dedup
-    (oracle_recall.cpp:10-38)."""
+    (oracle_recall.cpp:10-38), vectorized: each GT neighbor contributes at
+    the FIRST probe whose shard contains it; the curve is a cumsum of a
+    bincount over those first-probe indices."""
     nq = len(gt_ids)
-    member = [set(map(int, cover[n])) for n in range(len(cover))]
-    seen = [set() for _ in range(nq)]
-    hits = 0
-    out = []
-    for p in range(num_shards):
-        for q in range(nq):
-            if p >= len(probe_orders[q]):
-                continue
-            cluster = int(probe_orders[q][p])
-            if cluster < 0:
-                continue
-            for neighbor in gt_ids[q][:k]:
-                n = int(neighbor)
-                if n not in seen[q] and cluster in member[n]:
-                    seen[q].add(n)
-                    hits += 1
-        out.append(hits / (k * nq))
-    return out
+    gt = np.asarray(gt_ids)[:, :k]
+    P = np.full((nq, num_shards), -1, np.int32)
+    for q, po in enumerate(probe_orders):
+        po = np.asarray(po, np.int64)[:num_shards]
+        P[q, : len(po)] = po
+    # membership over only the points that appear in the GT (compact ids)
+    uniq, inv = np.unique(gt, return_inverse=True)
+    memb = np.zeros((len(uniq), num_shards), bool)
+    for i, pid in enumerate(uniq):
+        for shard in cover[int(pid)]:
+            memb[i, int(shard)] = True
+    Mq = memb[inv.reshape(nq, k)]  # [nq, k, s]
+    Psafe = np.where(P < 0, 0, P).astype(np.int64)
+    idx = np.broadcast_to(Psafe[:, None, :], (nq, k, num_shards))
+    found = np.take_along_axis(Mq, idx, axis=2) & (P >= 0)[:, None, :]
+    any_found = found.any(axis=2)
+    first_p = np.where(any_found, found.argmax(axis=2), num_shards)
+    counts = np.bincount(
+        first_p.reshape(-1), minlength=num_shards + 1
+    )[:num_shards]
+    return (np.cumsum(counts) / (k * nq)).tolist()
 
 
 def main(argv=None) -> int:

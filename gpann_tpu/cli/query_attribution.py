@@ -8,7 +8,12 @@ sweep, serialize ``*.routes``, run the in-shard search sweep, serialize
 Usage:
     python -m gpann_tpu.cli.query_attribution \
         <points.fbin> <queries.fbin> <ground_truth.bin> <k> \
-        <clusters_file> <num_shards> <out_prefix> [part_method] [metric]
+        <clusters_file> <num_shards> <out_prefix> [part_method] [metric] \
+        [budgets]
+
+``budgets``: comma-separated router size budgets; default = the reference's
+{20k..10M} grid (routes.cpp:130) clipped to the dataset size, so the CSV
+contains the full recall-vs-index-size tradeoff curve.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ def main(argv=None) -> int:
     out_prefix = argv[6]
     part_method = argv[7] if len(argv) > 7 else "GP"
     metric = argv[8] if len(argv) > 8 else "l2"
+    budgets_arg = argv[9] if len(argv) > 9 else None
 
     points = read_points(point_file)
     queries = read_points(query_file)
@@ -56,10 +62,18 @@ def main(argv=None) -> int:
     num_shards = len(clusters)
     min_cluster_size = min(len(c) for c in clusters)
 
-    # router budget = n / requested shards (run_query_attribution.cpp:68-69)
-    budget = max(1000, points.shape[0] // max(requested_shards, 1))
+    # budget grid sweep — the recall-vs-index-size tradeoff curve
+    # (routes.cpp:130: {20k..10M}; the blueprint budget n/requested_shards of
+    # run_query_attribution.cpp:68-69 is superseded by the grid there too)
+    if budgets_arg:
+        budgets = [int(b) for b in budgets_arg.split(",")]
+    else:
+        from gpann_tpu.route.sweep import default_budgets
+
+        budgets = default_budgets(points.shape[0])
+    print(f"router budget grid: {budgets}", flush=True)
     routes = iterate_routing_configs(
-        points, queries, clusters, budgets=[budget], metric=metric
+        points, queries, clusters, budgets=budgets, metric=metric
     )
     serialize_routes(routes, out_prefix + ".routes")
     print(f"{len(routes)} routing configs -> {out_prefix}.routes", flush=True)

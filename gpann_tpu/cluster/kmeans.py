@@ -74,17 +74,29 @@ def _aggregate(points, assignment, k, metric, prev_centroids, weights=None):
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "rounds"))
 def _lloyd(points, init_centroids, k: int, metric: Metric, rounds: int,
-           weights=None):
+           weights=None, k_valid=None):
+    """``k_valid`` (traced scalar, optional): only centroid columns
+    < k_valid participate in the argmin — callers pad the centroid count to
+    a fixed bucket so XLA compiles one program per bucket instead of one per
+    exact k (compiles cost 20-75 s on this backend)."""
+    col_ok = None if k_valid is None else jnp.arange(k)[None, :] < k_valid
+
+    def assign_step(centroids):
+        dm = pairwise_distances(points, centroids, metric)
+        if col_ok is not None:
+            dm = jnp.where(col_ok, dm, jnp.inf)
+        return dm
+
     def body(carry, _):
         centroids = carry
-        dm = pairwise_distances(points, centroids, metric)
+        dm = assign_step(centroids)
         assignment = jnp.argmin(dm, axis=1)
         centroids, sizes = _aggregate(points, assignment, k, metric, centroids,
                                       weights)
         return centroids, None
 
     centroids, _ = jax.lax.scan(body, init_centroids, None, length=rounds)
-    dm = pairwise_distances(points, centroids, metric)
+    dm = assign_step(centroids)
     assignment = jnp.argmin(dm, axis=1).astype(jnp.int32)
     obj = jnp.sum(
         jnp.take_along_axis(dm, assignment[:, None], axis=1)
@@ -101,11 +113,15 @@ def kmeans(
     rounds: int = DEFAULT_ROUNDS,
     seed: int = 555,
     weights: Optional[np.ndarray] = None,
+    k_pad_to: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lloyd k-means (reference KMeans, kmeans.cpp:228-244).
 
     ``weights`` (optional, [n] float) weight the centroid aggregation;
     zero-weight rows are shape padding that never influences centroids.
+    ``k_pad_to``: compile-shape bucket for the centroid count — the program
+    runs with k_pad_to centroid slots of which only k are live (masked
+    argmin), so sweeps over many k values reuse ONE compiled program.
     Returns (centroids [k,d] float32, assignment [n] int32).
     """
     points = np.ascontiguousarray(points, dtype=np.float32)
@@ -118,6 +134,15 @@ def kmeans(
     if k == 0 or points.shape[0] == 0:
         return np.asarray(centroids, np.float32), np.zeros(points.shape[0], np.int32)
     w = None if weights is None else jnp.asarray(weights, jnp.float32)
+    if k_pad_to and k_pad_to > k:
+        init = np.concatenate(
+            [np.asarray(centroids, np.float32),
+             np.broadcast_to(np.asarray(centroids[:1], np.float32),
+                             (k_pad_to - k, centroids.shape[1]))]
+        )
+        c, a, _ = _lloyd(jnp.asarray(points), jnp.asarray(init), k_pad_to,
+                         metric, rounds, w, jnp.int32(k))
+        return np.asarray(c)[:k], np.asarray(a)
     c, a, _ = _lloyd(jnp.asarray(points), jnp.asarray(centroids, jnp.float32), k,
                      metric, rounds, w)
     return np.asarray(c), np.asarray(a)
@@ -225,8 +250,15 @@ def balanced_kmeans(
     seed: int = 555,
     max_size: Optional[int] = None,
     refine_rounds: int = 20,
+    train_sample: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Balanced k-means: max cluster size <= (1+eps)*ceil(n/k).
+
+    ``train_sample``: if set and n exceeds it, the Lloyd warm start trains
+    centroids on a uniform subsample of that size (the reference's own
+    strategy for huge inputs — Pyramid subsamples to 10M,
+    partitioning.cpp:271-276); the capacity assignment and refinement still
+    see every point, so the balance guarantee is unchanged.
 
     Role parity: reference BalancedKMeans (kmeans.cpp:253-515). The
     reference's 1000 *sequential* mini-batches with in-flight atomic updates
@@ -255,7 +287,13 @@ def balanced_kmeans(
     n = points.shape[0]
     if max_size is None:
         max_size = int((1.0 + eps) * np.ceil(n / k))
-    centroids, assignment = kmeans(points, k=k, metric=metric, seed=seed)
+    if train_sample and n > train_sample:
+        idx = np.random.default_rng(seed).choice(
+            n, size=train_sample, replace=False
+        )
+        centroids, _ = kmeans(points[idx], k=k, metric=metric, seed=seed)
+    else:
+        centroids, _ = kmeans(points, k=k, metric=metric, seed=seed)
 
     # 2. capacity assignment by global distance priority
     assignment = _capacity_priority_assign(points, centroids, max_size, metric)

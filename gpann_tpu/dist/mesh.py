@@ -207,6 +207,161 @@ class DistributedIVF:
         return np.asarray(d)[:m], np.asarray(i)[:m]
 
 
+class DistributedServingEngine(DistributedIVF):
+    """Fused distributed serving: route + scan + merge in ONE mesh program.
+
+    The reference's ranks route their own query stripe locally and pipeline
+    doubling batches to overlap routing with remote search
+    (``distributed_query_benchmark.h:148-180``). TPU-native equivalent:
+
+    - the routing points (small) are replicated to every device; each device
+      routes its dp-slice of queries on-device with the same
+      :func:`gpann_tpu.search.serve._probe_rank` fold as the single-chip
+      engine (all four hnsw_router.h rules) — zero communication, exactly
+      "ranks route locally";
+    - a ``lax.scan`` over fixed query microbatches replaces the doubling
+      batches: each step's ICI ``all_gather`` merge can overlap the next
+      step's local scan under XLA's async collectives;
+    - one program: no host round-trip between routing and search (the
+      reference ships query vectors over MPI; here the probe decision never
+      leaves the device).
+    """
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        clusters: Clusters,
+        routing_points: np.ndarray,
+        routing_labels: np.ndarray,
+        mesh: Optional[Mesh] = None,
+        metric: Metric = "l2",
+        pad_multiple: int = 128,
+        precision=None,
+        rescore: bool = True,
+        voting_impl: str = "exact",
+    ) -> None:
+        super().__init__(points, clusters, mesh=mesh, metric=metric,
+                         pad_multiple=pad_multiple, precision=precision,
+                         rescore=rescore)
+        self.voting_impl = voting_impl
+        rp = np.asarray(routing_points, np.float32)
+        rsq = (rp.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        rep = NamedSharding(self.mesh, P())
+        self.router_points = jax.device_put(rp, rep)
+        self.router_labels = jax.device_put(
+            np.asarray(routing_labels, np.int32), rep
+        )
+        self.router_sq = jax.device_put(rsq, rep)
+        self._serve_cache: dict = {}
+
+    def _build_serve(self, k: int, nprobes: int, voting_t: int, rule: str,
+                     spann_eps: float, microbatch: int):
+        from gpann_tpu.search.serve import _probe_rank
+
+        mesh = self.mesh
+        metric, precision, rescore = self.metric, self.precision, self.rescore
+        voting_impl = self.voting_impl
+        s = self.num_shards
+        s_local = self.shard_points.shape[0] // mesh.shape["shard"]
+
+        def serve(queries, blocks, sizes, ids, rp, rl, rsq):
+            m_local, d_dim = queries.shape
+            shard_offset = jax.lax.axis_index("shard") * s_local
+            n_mb = m_local // microbatch
+
+            def mb_body(carry, q_mb):
+                probes = _probe_rank(
+                    q_mb, rp, rl, rsq, s=s, voting_t=voting_t, rule=rule,
+                    spann_eps=spann_eps, nprobes=nprobes, metric=metric,
+                    precision=precision, voting_impl=voting_impl,
+                )
+                d, i = _local_scan(q_mb, probes, blocks, sizes, ids,
+                                   shard_offset, k, metric, precision, rescore)
+                all_d = jax.lax.all_gather(d, "shard", axis=0)
+                all_i = jax.lax.all_gather(i, "shard", axis=0)
+                mb = d.shape[0]
+                cat_d = jnp.moveaxis(all_d, 0, 1).reshape(mb, -1)
+                cat_i = jnp.moveaxis(all_i, 0, 1).reshape(mb, -1)
+                neg, pos = jax.lax.top_k(-cat_d, k)
+                return carry, (-neg, jnp.take_along_axis(cat_i, pos, axis=1))
+
+            _, (d, i) = jax.lax.scan(
+                mb_body, None, queries.reshape(n_mb, microbatch, d_dim)
+            )
+            return d.reshape(m_local, k), i.reshape(m_local, k)
+
+        shard_map_fn = jax.shard_map(
+            serve,
+            mesh=mesh,
+            in_specs=(
+                P("dp", None),           # queries
+                P("shard", None, None),  # blocks
+                P("shard"),              # sizes
+                P("shard", None),        # ids
+                P(), P(), P(),           # routing points/labels/sq: replicated
+            ),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
+        return jax.jit(shard_map_fn)
+
+    def serve(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobes: int,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        spann_eps: float = 0.6,
+        microbatch: int = 128,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Routed distributed search; pads the batch to dp*microbatch."""
+        key = (k, nprobes, voting_t, rule, spann_eps, microbatch)
+        if key not in self._serve_cache:
+            self._serve_cache[key] = self._build_serve(
+                k, nprobes, voting_t, rule, spann_eps, microbatch
+            )
+        m = len(queries)
+        dp = self.mesh.shape["dp"]
+        quantum = dp * microbatch
+        pad = (-m) % quantum
+        queries = np.asarray(queries, np.float32)
+        if pad:
+            queries = np.concatenate(
+                [queries, np.zeros((pad, queries.shape[1]), np.float32)]
+            )
+        d, i = self._serve_cache[key](
+            jnp.asarray(queries),
+            self.shard_points,
+            self.shard_sizes,
+            self.shard_ids,
+            self.router_points,
+            self.router_labels,
+            self.router_sq,
+        )
+        return np.asarray(d)[:m], np.asarray(i)[:m]
+
+    def serve_device(self, queries_dev, k: int, nprobes: int,
+                     voting_t: int = 60, rule: str = "min_dist",
+                     spann_eps: float = 0.6, microbatch: int = 128):
+        """Device-resident variant (no padding, no readback) for pipelined
+        throughput loops; ``queries_dev`` length must divide dp*microbatch."""
+        key = (k, nprobes, voting_t, rule, spann_eps, microbatch)
+        if key not in self._serve_cache:
+            self._serve_cache[key] = self._build_serve(
+                k, nprobes, voting_t, rule, spann_eps, microbatch
+            )
+        return self._serve_cache[key](
+            queries_dev,
+            self.shard_points,
+            self.shard_sizes,
+            self.shard_ids,
+            self.router_points,
+            self.router_labels,
+            self.router_sq,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Sharded index-build step (the framework's "training step"): one Lloyd
 # round with points sharded over dp and centroid stats psum-reduced over ICI.

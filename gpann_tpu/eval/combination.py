@@ -246,7 +246,9 @@ def serialize_routes(routes: Sequence[RoutingConfig], path: str) -> None:
                 f"{r.index_trainer} {r.routing_algorithm} "
                 f"{r.hnsw_num_voting_neighbors} {r.hnsw_ef_search} "
                 f"{r.routing_time} {r.index_size_bytes} "
-                f"{int(r.try_increasing_num_shards)}\n"
+                f"{int(r.try_increasing_num_shards)} "
+                f"{int(r.routing_index_options.get('budget', 0))} "
+                f"{r.routing_distance_calcs}\n"
             )
             f.write(f"{len(r.buckets_to_probe)}\n")
             for row in r.buckets_to_probe:
@@ -269,6 +271,9 @@ def deserialize_routes(path: str) -> List[RoutingConfig]:
                 index_size_bytes=int(head[5]),
                 try_increasing_num_shards=bool(int(head[6])),
             )
+            if len(head) > 7:  # budget + distance calcs (older files lack them)
+                r.routing_index_options = {"budget": int(head[7])}
+                r.routing_distance_calcs = int(head[8])
             nq = int(f.readline())
             rows = []
             width = 0

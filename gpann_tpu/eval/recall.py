@@ -184,22 +184,18 @@ def recall_from_ids(
             d = jnp.sum((q[:, None, :] - cand) ** 2, axis=-1)
         out[s : s + block] = np.asarray(d, np.float32)
     out = np.where(cand_ids < 0, np.inf, out)
-    # dedup ids per query so overlapping shards can't double-count a point
-    sort = np.argsort(out, axis=1, kind="stable")
-    sorted_ids = np.take_along_axis(cand_ids, sort, axis=1)
-    sorted_d = np.take_along_axis(out, sort, axis=1)
-    dup = np.zeros_like(sorted_d, dtype=bool)
-    for q in range(m):
-        seen: set = set()
-        for j, pid in enumerate(sorted_ids[q]):
-            if pid < 0:
-                continue
-            if int(pid) in seen:
-                dup[q, j] = True
-            else:
-                seen.add(int(pid))
-    sorted_d = np.where(dup, np.inf, sorted_d)
-    return recall_from_candidate_distances(sorted_d, kth_dist, k, eps=eps)
+    # dedup ids per query so overlapping shards can't double-count a point:
+    # sort columns by id (copies of an id are adjacent and share one exact
+    # distance), mask all but the first copy, scatter the mask back —
+    # vectorized so 100k-query sets stay tractable on the single-core host
+    ordix = np.argsort(cand_ids, axis=1, kind="stable")
+    sids = np.take_along_axis(cand_ids, ordix, axis=1)
+    dup_sorted = np.zeros_like(sids, dtype=bool)
+    dup_sorted[:, 1:] = (sids[:, 1:] == sids[:, :-1]) & (sids[:, 1:] >= 0)
+    dup = np.zeros_like(dup_sorted)
+    np.put_along_axis(dup, ordix, dup_sorted, axis=1)
+    out = np.where(dup, np.inf, out)
+    return recall_from_candidate_distances(out, kth_dist, k, eps=eps)
 
 
 def gt_shard_counts(
@@ -245,24 +241,25 @@ def oracle_recall(
         sorted_counts = -np.sort(-counts, axis=1)
         cum = np.cumsum(sorted_counts, axis=1)
         return cum.sum(axis=0) / (k * nq)
-    # overlap: greedy max-coverage per query (neighbors dedup across probes)
+    # overlap: greedy max-coverage per query (neighbors dedup across probes),
+    # vectorized over queries: membership tensor M[q, b, j] = "GT neighbor j
+    # of query q lives in shard b", then s rounds of masked argmax — keeps
+    # 100k-query sets tractable on the single-core host
     s = num_shards or int(max((c.max() for c in cover if len(c)), default=-1)) + 1
+    M = np.zeros((nq, s, k), dtype=bool)
+    qk_q, qk_j = np.divmod(np.arange(nq * k), k)
+    for idx, neigh in zip(range(nq * k), gt_ids.reshape(-1)):
+        for shard in cover[neigh]:
+            M[qk_q[idx], shard, qk_j[idx]] = True
+    covered = np.zeros((nq, k), dtype=bool)
     total = np.zeros(s, dtype=np.int64)
-    for q in range(nq):
-        shard_members = [[] for _ in range(s)]
-        for j, neigh in enumerate(gt_ids[q]):
-            for shard in cover[neigh]:
-                shard_members[shard].append(j)
-        covered = np.zeros(k, dtype=bool)
-        remaining = [set(m) for m in shard_members]
-        for probe in range(s):
-            best = max(range(s), key=lambda b: len(remaining[b]))
-            got = remaining[best]
-            covered[list(got)] = True
-            total[probe] += int(covered.sum())
-            for b in range(s):
-                remaining[b] -= got
-            remaining[best] = set()
+    rows = np.arange(nq)
+    for probe in range(s):
+        gains = (M & ~covered[:, None, :]).sum(axis=2)  # [nq, s]
+        best = gains.argmax(axis=1)  # first max, like the python max()
+        covered |= M[rows, best]
+        total[probe] = int(covered.sum())
+        M[rows, best] = False
     return total / (k * nq)
 
 

@@ -122,8 +122,12 @@ class KMeansTreeRouter:
             padded = _bucket_pad(node_pts)
             weights = np.zeros(len(padded), np.float32)
             weights[: len(node_pts)] = 1.0
+            # k varies per node (budget splits); pad the centroid count to
+            # one bucket so the whole tree compiles O(log n) programs, not
+            # one per distinct (bucket, k) pair
             cents, assign = kmeans(
-                padded, k=k, metric=self.metric, seed=node_seed, weights=weights
+                padded, k=k, metric=self.metric, seed=node_seed,
+                weights=weights, k_pad_to=options.num_centroids,
             )
             assign = assign[: len(node_pts)]
             sizes = np.bincount(assign, minlength=k)

@@ -26,6 +26,18 @@ from gpann_tpu.route.kmeans_tree import KMeansTreeRouter, KMeansTreeRouterOption
 
 VOTING_NEIGHBORS = (20, 40, 80, 120, 250, 500)  # routes.cpp:36,229
 HNSW_RULES = ("min_dist", "pyramid", "spann", "frequency")
+# the reference's active router-size grid (routes.cpp:130, #else branch)
+BUDGET_GRID = (
+    20_000, 100_000, 200_000, 500_000,
+    1_000_000, 2_000_000, 5_000_000, 10_000_000,
+)
+
+
+def default_budgets(n: int) -> List[int]:
+    """The reference grid, dropped where a budget exceeds the dataset size
+    (a router bigger than the data degenerates to brute force over it)."""
+    out = [b for b in BUDGET_GRID if b <= n]
+    return out or [max(1, n // 2)]
 
 
 def iterate_routing_configs(
@@ -66,6 +78,10 @@ def iterate_routing_configs(
                 routing_time=t,
                 index_size_bytes=index_bytes,
                 routing_index_options={"budget": int(budget)},
+                # the flat scan computes exactly one distance per routing
+                # point per query (reference counts hnswlib's
+                # metric_distance_computations, routes.cpp:61-62)
+                routing_distance_calcs=len(flat),
                 buckets_to_probe=np.asarray(probes, np.int32),
             )
         )
@@ -83,6 +99,7 @@ def iterate_routing_configs(
                     routing_time=t,
                     index_size_bytes=index_bytes,
                     routing_index_options={"budget": int(budget)},
+                    routing_distance_calcs=len(flat),
                     buckets_to_probe=np.asarray(probes, np.int32),
                 )
             )
@@ -102,6 +119,7 @@ def iterate_routing_configs(
                         routing_time=t,
                         index_size_bytes=index_bytes,
                         routing_index_options={"budget": int(budget)},
+                        routing_distance_calcs=len(flat),
                         # pyramid/spann rules cut lists short: no extra shards
                         try_increasing_num_shards=rule not in ("pyramid", "spann"),
                         buckets_to_probe=np.asarray(probes, np.int32),

@@ -397,22 +397,23 @@ def merge_shard_topk(
     qidx = np.arange(m)[:, None]
     cand_d = shard_dists[probed, qidx, :].reshape(m, -1)
     cand_i = shard_ids[probed, qidx, :].reshape(m, -1)
-    order = np.argsort(cand_d, axis=1, kind="stable")
-    cand_d = np.take_along_axis(cand_d, order, axis=1)
-    cand_i = np.take_along_axis(cand_i, order, axis=1)
-    # dedup ids, keep first (closest) occurrence
-    out_d = np.full((m, k), np.inf, dtype=np.float32)
-    out_i = np.full((m, k), -1, dtype=np.int32)
-    for q in range(m):
-        seen = set()
-        w = 0
-        for d, i in zip(cand_d[q], cand_i[q]):
-            if i < 0 or i in seen:
-                continue
-            seen.add(int(i))
-            out_d[q, w] = d
-            out_i[q, w] = i
-            w += 1
-            if w == k:
-                break
+    # dedup ids keeping the closest occurrence, fully vectorized (100k-query
+    # sets must stay tractable on the single-core host): sort each row by
+    # (id, dist) via two stable argsorts, mask adjacent duplicates, scatter
+    # the mask back, then take the k smallest surviving distances
+    o1 = np.argsort(cand_d, axis=1, kind="stable")
+    i1 = np.take_along_axis(cand_i, o1, axis=1)
+    o2 = np.argsort(i1, axis=1, kind="stable")
+    ordix = np.take_along_axis(o1, o2, axis=1)
+    sids = np.take_along_axis(cand_i, ordix, axis=1)
+    dup_sorted = np.zeros_like(sids, dtype=bool)
+    dup_sorted[:, 1:] = (sids[:, 1:] == sids[:, :-1]) & (sids[:, 1:] >= 0)
+    dup = np.zeros_like(dup_sorted)
+    np.put_along_axis(dup, ordix, dup_sorted, axis=1)
+    cand_d = np.where(dup | (cand_i < 0), np.inf, cand_d)
+    order = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
+    out_d = np.take_along_axis(cand_d, order, axis=1).astype(np.float32)
+    sel_i = np.take_along_axis(cand_i, order, axis=1)
+    out_i = np.where(np.isfinite(out_d), sel_i, -1).astype(np.int32)
+    out_d = np.where(np.isfinite(out_d), out_d, np.inf).astype(np.float32)
     return out_d, out_i

@@ -168,7 +168,7 @@ class ServingEngine:
 
     # -- compiled pipeline -----------------------------------------------------
     def _build(self, k: int, nprobes: int, voting_t: int, rule: str,
-               qb: int, spann_eps: float):
+               qb: int, spann_eps: float, curve: bool = False):
         s = self.num_shards
         metric, precision, rescore = self.metric, self.precision, self.rescore
         cap = self.capacity
@@ -186,7 +186,7 @@ class ServingEngine:
         voting_impl = self.voting_impl
 
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
-                     router_points, router_labels, router_sq):
+                     router_points, router_labels, router_sq, kth=None):
             m = queries.shape[0]
             # ---- route ----
             probes = _probe_rank(
@@ -306,6 +306,17 @@ class ServingEngine:
                     jnp.arange(m)[:, None], order_i
                 ].set(dup_sorted)
                 cat_d = jnp.where(dup, jnp.inf, cat_d)
+            if curve:
+                # recall@k at EVERY probe prefix 1..nprobes from this one
+                # program: candidate slots are ordered by probe rank, so the
+                # prefix hit counts are a cumsum over slots. Threshold recall
+                # exactly as eval.recall.recall_from_candidate_distances
+                # (recall.h:139-150), capped at k hits per query.
+                thresh = kth + 1e-5 + 1e-4 * jnp.abs(kth)
+                hit = (cat_d <= thresh[:, None]).reshape(m, nprobes, k)
+                cum = jnp.cumsum(hit.sum(axis=2), axis=1)
+                capped = jnp.minimum(cum, k).astype(jnp.float32)
+                return capped.sum(axis=0) / (k * m)
             fneg, fpos = jax.lax.top_k(-cat_d, k)
             return -fneg, jnp.take_along_axis(cat_i, fpos, axis=1)
 
@@ -381,6 +392,36 @@ class ServingEngine:
             self.router_sq,
         )
         return np.asarray(d), np.asarray(i)
+
+    def recall_curve(
+        self,
+        queries,
+        k: int,
+        kth_dist,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        query_block: int = 1024,
+        spann_eps: float = 0.6,
+    ) -> np.ndarray:
+        """recall@k at EVERY probe prefix 1..num_shards from ONE compiled
+        program (one compile, one [num_shards]-float readback) — the
+        recompile-free way to pick the smallest nprobes hitting a recall
+        target. Threshold-recall definition of recall.h:139-150 with the same
+        tolerances as eval.recall.recall_from_candidate_distances."""
+        key = ("curve", k, voting_t, rule, query_block, spann_eps)
+        if key not in self._fns:
+            self._fns[key] = self._build(k, self.num_shards, voting_t, rule,
+                                         query_block, spann_eps, curve=True)
+        return np.asarray(self._fns[key](
+            jnp.asarray(queries, jnp.float32),
+            self.shard_points,
+            self.shard_sizes_ext,
+            self.shard_ids,
+            self.router_points,
+            self.router_labels,
+            self.router_sq,
+            jnp.asarray(kth_dist, jnp.float32),
+        ))
 
     def probe_order(
         self,

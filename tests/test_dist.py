@@ -102,3 +102,41 @@ def test_uneven_query_batch_padded(setup):
     probes = np.tile(np.arange(8), (13, 1))  # 13 not divisible by dp=2
     d, i = divf.search_probed(q[:13], probes, 10)
     assert d.shape == (13, 10)
+
+
+@pytest.mark.parametrize("rule", ["min_dist", "pyramid", "spann", "frequency"])
+def test_fused_distributed_serve_matches_single_chip(setup, rule):
+    """The fused mesh program (route on-device + microbatch scan + all_gather
+    merge) must return the single-chip ServingEngine's results for all four
+    probe rules (VERDICT r1 item 4)."""
+    from gpann_tpu.dist import DistributedServingEngine
+    from gpann_tpu.route import centroid_router
+    from gpann_tpu.search.serve import ServingEngine
+
+    pts, q, clusters = setup
+    router = centroid_router(pts, clusters)
+    rp, rl = np.asarray(router.points), router.labels_np
+    dse = DistributedServingEngine(pts, clusters, rp, rl,
+                                   mesh=shard_mesh(dp=2))
+    single = ServingEngine(pts, clusters, rp, rl, pad_multiple=128)
+    dd, di = dse.serve(q, k=10, nprobes=3, voting_t=8, rule=rule,
+                       microbatch=16)
+    sd, si = single.serve(q, k=10, nprobes=3, voting_t=8, rule=rule,
+                          query_block=32)
+    np.testing.assert_allclose(dd, sd, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(di, 1), np.sort(si, 1))
+
+
+def test_fused_distributed_serve_microbatch_padding(setup):
+    from gpann_tpu.dist import DistributedServingEngine
+    from gpann_tpu.route import centroid_router
+
+    pts, q, clusters = setup
+    router = centroid_router(pts, clusters)
+    dse = DistributedServingEngine(
+        pts, clusters, np.asarray(router.points), router.labels_np,
+        mesh=shard_mesh(dp=2),
+    )
+    # 50 queries force padding to dp*microbatch quanta
+    d, i = dse.serve(q[:50], k=10, nprobes=8, voting_t=8, microbatch=16)
+    assert d.shape == (50, 10) and (i >= 0).all()

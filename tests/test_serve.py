@@ -89,6 +89,20 @@ def test_engine_probe_order_matches_flat_router(setup, rule):
     np.testing.assert_array_equal(got, want)
 
 
+def test_recall_curve_matches_looped_serve(setup):
+    """The one-compile prefix recall curve must equal the per-nprobes loop of
+    serve() + recall_from_ids (what bench.py used to recompile 32x for)."""
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    kth = kth_neighbor_distance(gt_dists, 10)
+    curve = engine.recall_curve(q, 10, kth, voting_t=8, query_block=32)
+    assert curve.shape == (8,)
+    assert np.all(np.diff(curve) >= -1e-6)  # monotone in nprobes
+    for p in (1, 3, 8):
+        _, fi = engine.serve(q, k=10, nprobes=p, voting_t=8, query_block=32)
+        want = recall_from_ids(pts, q, fi, kth, 10)
+        np.testing.assert_allclose(curve[p - 1], want, atol=1e-6)
+
+
 def test_serve_single_probe(setup):
     pts, q, gt_ids, gt_dists, clusters, router, engine = setup
     fd, fi = engine.serve(q, k=10, nprobes=1, voting_t=8, query_block=32)
