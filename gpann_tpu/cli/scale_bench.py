@@ -1,0 +1,162 @@
+"""Beyond-HBM scale demonstration: partition + route + serve at 64M+ points.
+
+The reference's 1B-scale choreography keeps only owned shards per rank and
+streams points from disk (``src/distributed_query_benchmark.h:48-84``); the
+coordinator never holds the base. This driver is the single-chip TPU analog
+at >= 64M points (64M x 96 f32 = 24.6 GB > 16 GB v5e HBM):
+
+1. chunk-generate the base straight into a disk memmap (eval/synth.py),
+2. partition with :func:`streaming_capacity_partition` (Lloyd on an in-RAM
+   subsample + ONE streamed admission pass; balance <= (1+eps)ceil(n/k)),
+3. ground truth via :func:`streaming_topk_neighbors` (chunked exact scan),
+4. train the k-means-tree router on a subsample (the reference subsamples
+   for Pyramid at scale, partitioning.cpp:271-276),
+5. stream shard-at-a-time through the chip with
+   :class:`~gpann_tpu.search.streamed.StreamedShardEngine` and report the
+   full recall-vs-nprobes curve from ONE pass over the base.
+
+Every stage artifact is cached under ``~/.cache/gpann_tpu`` so reruns skip
+completed stages. Output: a CSV of curve points + a summary JSON line.
+
+Usage:
+    python -m gpann_tpu.cli.scale_bench [--n 64000000] [--d 96] [--shards 64]
+        [--nq 1024] [--kind hard] [--out exp_outputs/scale64m.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+K = 10
+
+
+def log(msg: str) -> None:
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64_000_000)
+    ap.add_argument("--d", type=int, default=96)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--nq", type=int, default=1024)
+    ap.add_argument("--kind", default="hard", choices=("hard", "blobs"))
+    ap.add_argument("--seed", type=int, default=555)
+    ap.add_argument("--eps", type=float, default=0.05)
+    ap.add_argument("--train-sample", type=int, default=4_000_000)
+    ap.add_argument("--out", default="exp_outputs/scale64m.csv")
+    args = ap.parse_args(argv)
+
+    from gpann_tpu.cluster.streaming import streaming_capacity_partition
+    from gpann_tpu.core.distances import streaming_topk_neighbors
+    from gpann_tpu.core.partition import partition_to_clusters
+    from gpann_tpu.eval import kth_neighbor_distance
+    from gpann_tpu.eval.synth import dataset_cached, generate_queries
+    from gpann_tpu.route import KMeansTreeRouter, KMeansTreeRouterOptions
+    from gpann_tpu.search.streamed import StreamedShardEngine
+
+    cache = os.path.expanduser("~/.cache/gpann_tpu")
+    tag = f"scale_{args.kind}_{args.seed}_{args.n}_{args.d}_{args.shards}"
+    t_all = time.time()
+
+    t0 = time.time()
+    pts, pts_path = dataset_cached(args.kind, args.n, args.d, args.seed)
+    queries = generate_queries(args.kind, args.nq, args.d, args.seed)
+    t_data = time.time() - t0
+    log(f"base ready: {pts.shape} at {pts_path} ({t_data:.0f}s)")
+
+    part_path = os.path.join(cache, f"{tag}_part.npy")
+    t0 = time.time()
+    if os.path.exists(part_path):
+        part = np.load(part_path)
+        t_part = 0.0
+    else:
+        part = streaming_capacity_partition(
+            pts, k=args.shards, eps=args.eps, seed=args.seed,
+            train_sample=args.train_sample,
+        )
+        np.save(part_path, part)
+        t_part = time.time() - t0
+    sizes = np.bincount(part, minlength=args.shards)
+    cap = (1.0 + args.eps) * np.ceil(args.n / args.shards)
+    balance = float(sizes.max() / np.ceil(args.n / args.shards))
+    assert sizes.max() <= cap, (sizes.max(), cap)
+    log(f"partition: sizes [{sizes.min()}..{sizes.max()}] "
+        f"balance={balance:.4f} (cap ratio {1 + args.eps}) ({t_part:.0f}s)")
+
+    gt_path = os.path.join(cache, f"{tag}_gt.npz")
+    t0 = time.time()
+    if os.path.exists(gt_path):
+        g = np.load(gt_path)
+        gt_i, gt_d = g["ids"], g["dists"]
+        t_gt = 0.0
+    else:
+        gt_d, gt_i = streaming_topk_neighbors(queries, pts, K)
+        np.savez(gt_path, ids=gt_i, dists=gt_d)
+        t_gt = time.time() - t0
+    kth = kth_neighbor_distance(gt_d, K)
+    log(f"ground truth ready ({t_gt:.0f}s)")
+
+    rt_path = os.path.join(cache, f"{tag}_router.npz")
+    t0 = time.time()
+    if os.path.exists(rt_path):
+        r = np.load(rt_path)
+        rp, rl = r["rp"], r["rl"]
+        t_router = 0.0
+    else:
+        rng = np.random.default_rng(args.seed + 1)
+        sub = np.sort(rng.choice(args.n, size=min(args.train_sample, args.n),
+                                 replace=False))
+        sub_pts = np.asarray(pts[sub], np.float32)
+        sub_clusters = partition_to_clusters(part[sub], args.shards)
+        opts = KMeansTreeRouterOptions(num_centroids=32, budget=40_000)
+        kmtr = KMeansTreeRouter().train(sub_pts, sub_clusters, opts,
+                                        seed=args.seed)
+        rp, rl = kmtr.extract_points()
+        np.savez(rt_path, rp=rp, rl=rl)
+        t_router = time.time() - t0
+    log(f"router ready ({len(rp)} routing points) ({t_router:.0f}s)")
+
+    clusters = partition_to_clusters(part, args.shards)
+    engine = StreamedShardEngine(pts, clusters, rp, rl)
+    t0 = time.time()
+    curve, stats = engine.recall_curve(queries, K, kth, verbose=False)
+    t_curve = time.time() - t0
+    gb = stats["bytes_uploaded"] / 1e9
+    log(f"curve pass: {t_curve:.0f}s ({gb:.1f} GB streamed, "
+        f"route {stats['route_s']:.1f}s gather {stats['gather_s']:.1f}s "
+        f"scan {stats['scan_s']:.1f}s)")
+    log("recall curve: "
+        + " ".join(f"{p+1}:{r:.4f}" for p, r in enumerate(curve)))
+
+    ok = np.nonzero(curve >= 0.95)[0]
+    nprobes = int(ok[0] + 1) if len(ok) else args.shards
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("n,d,shards,kind,nprobes,recall,balance,"
+                "curve_pass_s,gb_streamed,partition_s,gt_s,router_s\n")
+        for p, r in enumerate(curve):
+            f.write(f"{args.n},{args.d},{args.shards},{args.kind},{p+1},"
+                    f"{r:.6f},{balance:.4f},{t_curve:.1f},{gb:.2f},"
+                    f"{t_part:.1f},{t_gt:.1f},{t_router:.1f}\n")
+    summary = {
+        "n": args.n, "shards": args.shards, "kind": args.kind,
+        "balance": round(balance, 4),
+        "nprobes_at_95": nprobes,
+        "recall_at_nprobes": round(float(curve[nprobes - 1]), 4),
+        "curve_pass_s": round(t_curve, 1), "gb_streamed": round(gb, 1),
+        "total_s": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,239 @@
+"""Shard-at-a-time streamed serving for bases that exceed device HBM.
+
+The reference serves 1B points by giving each rank only its own shards and
+streaming owned points from disk at startup (``src/distributed_query_
+benchmark.h:48-84``); no machine ever holds the whole base. The single-chip
+TPU analog: the base stays host-resident (a ``np.memmap``), only the tiny
+router is device-resident, and an evaluation pass streams each probed shard
+through the chip exactly once — upload the shard block, scan every query
+that probes it, scatter the candidates into per-(query, probe-slot) tables,
+and do one vectorized host merge at the end.
+
+This is the >HBM complement of :class:`~gpann_tpu.search.serve.ServingEngine`
+(which keeps all shard blocks resident and fuses the whole pipeline into one
+XLA program): at 64M x 96 f32 the base alone is 24.6 GB against 16 GB of
+v5e HBM, so residency is impossible and the upload pass (H2D ~1.3 GB/s on
+this stack) is the price of exactness. Steady-state cost is one full-base
+upload per evaluation batch — amortize by batching many queries per pass,
+exactly like the reference amortizes disk streaming over its query set.
+
+Compile discipline (compiles cost 20-75 s on this backend): ONE shard
+capacity (the max shard size, rounded to the Pallas tile) and power-of-two
+query-count buckets mean the whole pass reuses O(log m) compiled programs
+regardless of shard count.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpann_tpu.core.distances import Metric, default_precision
+from gpann_tpu.core.partition import Clusters
+from gpann_tpu.search.serve import _probe_rank
+
+
+def _pow2_at_least(x: int, floor: int = 256) -> int:
+    return max(floor, 1 << (max(x, 1) - 1).bit_length())
+
+
+class StreamedShardEngine:
+    """Routed search over a host-resident (memmap) base, one shard at a time.
+
+    Parameters mirror :class:`ServingEngine`; ``points`` may be a
+    ``np.memmap`` — only one shard block (~shard_size x d f32) is ever
+    materialized on host, and only that block plus the router lives in HBM.
+    """
+
+    def __init__(
+        self,
+        points,                       # array-like / np.memmap [n, d]
+        clusters: Clusters,
+        routing_points: np.ndarray,
+        routing_labels: np.ndarray,
+        metric: Metric = "l2",
+        precision=None,
+        scan_mode: str = "binned",
+        voting_impl: str = "exact",
+    ) -> None:
+        self.points = points
+        self.metric: Metric = metric
+        self.precision = default_precision() if precision is None else precision
+        self.scan_mode = scan_mode
+        self.voting_impl = voting_impl
+        self.num_shards = len(clusters)
+        self.clusters: List[np.ndarray] = [
+            np.asarray(c, np.int64) for c in clusters
+        ]
+        self.max_size = max((len(c) for c in self.clusters), default=1)
+        if scan_mode == "binned":
+            from gpann_tpu.search.pallas_scan import BIN  # noqa: F401
+
+            tile = 16384
+        else:
+            tile = 512
+        self.capacity = -(-self.max_size // tile) * tile
+        self.router_points = jnp.asarray(routing_points, jnp.float32)
+        self.router_labels = jnp.asarray(routing_labels, jnp.int32)
+        self.router_sq = jnp.asarray(
+            (np.asarray(routing_points, np.float64) ** 2).sum(1).astype(
+                np.float32
+            )
+        )
+        self._route_fns: dict = {}
+
+    # -- routing (device; tiny) ------------------------------------------------
+    def probe_order(
+        self,
+        queries: np.ndarray,
+        nprobes: int,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        spann_eps: float = 0.6,
+    ) -> np.ndarray:
+        """[m, nprobes] probe list (dummy shard ``num_shards`` where a rule
+        cuts the list short) — identical semantics to ServingEngine/FlatRouter
+        (hnsw_router.h:55-104)."""
+        key = (nprobes, voting_t, rule, spann_eps)
+        if key not in self._route_fns:
+            s, metric, precision = self.num_shards, self.metric, self.precision
+            voting_impl = self.voting_impl
+
+            def route(q, rp, rl, rsq):
+                return _probe_rank(
+                    q, rp, rl, rsq, s=s, voting_t=voting_t, rule=rule,
+                    spann_eps=spann_eps, nprobes=nprobes, metric=metric,
+                    precision=precision, voting_impl=voting_impl,
+                )
+
+            self._route_fns[key] = jax.jit(route)
+        out = []
+        for s0 in range(0, len(queries), 65536):
+            out.append(np.asarray(self._route_fns[key](
+                jnp.asarray(queries[s0 : s0 + 65536], jnp.float32),
+                self.router_points, self.router_labels, self.router_sq,
+            )))
+        return np.concatenate(out, axis=0)
+
+    # -- one shard scan --------------------------------------------------------
+    def _scan_shard(
+        self, q_block: jnp.ndarray, shard_rows: np.ndarray, size: int, k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k of each (padded) query row within one shard block."""
+        cap = self.capacity
+        blk = np.zeros((cap, shard_rows.shape[1]), np.float32)
+        blk[:size] = shard_rows
+        bj = jnp.asarray(blk)
+        if self.scan_mode == "binned":
+            from gpann_tpu.search.pallas_scan import fused_topk
+
+            d, pos = fused_topk(q_block, bj, size, k, self.metric)
+        else:
+            from gpann_tpu.core.distances import topk_neighbors
+
+            dpad, pos = topk_neighbors(
+                q_block, bj, k, metric=self.metric,
+                precision=self.precision,
+            )
+            mask = pos < size
+            d = jnp.where(mask, dpad, jnp.inf)
+            pos = jnp.where(mask, pos, 0)
+        return np.asarray(d), np.asarray(pos)
+
+    # -- full evaluation pass --------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobes: int,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        spann_eps: float = 0.6,
+        probes: Optional[np.ndarray] = None,
+        return_tables: bool = False,
+        verbose: bool = False,
+    ):
+        """One streamed pass over all probed shards.
+
+        Returns ``(dists [m,k], ids [m,k], stats)``; with
+        ``return_tables=True`` the per-probe-slot candidate tables
+        ``(tab_d [m,nprobes,k], tab_i [m,nprobes,k])`` are returned instead
+        of the merged top-k (slot order = probe rank, enabling
+        recall-at-every-prefix from a single pass — same trick as
+        ServingEngine.recall_curve).
+        """
+        queries = np.asarray(queries, np.float32)
+        m = queries.shape[0]
+        t_route = time.time()
+        if probes is None:
+            probes = self.probe_order(queries, nprobes, voting_t, rule,
+                                      spann_eps)
+        stats = {"route_s": time.time() - t_route, "gather_s": 0.0,
+                 "scan_s": 0.0, "shards_scanned": 0, "bytes_uploaded": 0}
+        tab_d = np.full((m, nprobes, k), np.inf, np.float32)
+        tab_i = np.full((m, nprobes, k), -1, np.int64)
+        for b in range(self.num_shards):
+            members = self.clusters[b]
+            if len(members) == 0:
+                continue
+            qidx, slot = np.nonzero(probes == b)
+            if len(qidx) == 0:
+                continue
+            t0 = time.time()
+            # memmap fancy-index: reads only this shard's rows
+            rows = np.asarray(self.points[members], np.float32)
+            stats["gather_s"] += time.time() - t0
+            t0 = time.time()
+            mq = len(qidx)
+            mq_pad = _pow2_at_least(mq)
+            qb = np.zeros((mq_pad, queries.shape[1]), np.float32)
+            qb[:mq] = queries[qidx]
+            d, pos = self._scan_shard(jnp.asarray(qb), rows, len(members), k)
+            stats["scan_s"] += time.time() - t0
+            stats["shards_scanned"] += 1
+            stats["bytes_uploaded"] += rows.nbytes + qb.nbytes
+            kk = min(k, len(members))
+            tab_d[qidx, slot, :kk] = d[:mq, :kk]
+            tab_i[qidx, slot, :kk] = members[pos[:mq, :kk]]
+            if verbose:
+                print(f"# shard {b}: {len(members)} pts, {mq} queries "
+                      f"({stats['scan_s']:.1f}s scan)", flush=True)
+        if return_tables:
+            return tab_d, tab_i, stats
+        flat_d = tab_d.reshape(m, nprobes * k)
+        flat_i = tab_i.reshape(m, nprobes * k)
+        sel = np.argsort(flat_d, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(flat_d, sel, axis=1),
+            np.take_along_axis(flat_i, sel, axis=1),
+            stats,
+        )
+
+    def recall_curve(
+        self,
+        queries: np.ndarray,
+        k: int,
+        kth_dist: np.ndarray,
+        max_nprobes: Optional[int] = None,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        spann_eps: float = 0.6,
+        verbose: bool = False,
+    ) -> Tuple[np.ndarray, dict]:
+        """Threshold recall@k at EVERY probe prefix 1..max_nprobes from ONE
+        streamed pass (recall definition of recall.h:139-150, same tolerance
+        as eval.recall.recall_from_candidate_distances)."""
+        nprobes = max_nprobes or self.num_shards
+        tab_d, _, stats = self.search(
+            queries, k, nprobes, voting_t, rule, spann_eps,
+            return_tables=True, verbose=verbose,
+        )
+        kth = np.asarray(kth_dist, np.float32)
+        thresh = kth + 1e-5 + 1e-4 * np.abs(kth)
+        hit = (tab_d <= thresh[:, None, None]).sum(axis=2)   # [m, nprobes]
+        cum = np.minimum(np.cumsum(hit, axis=1), k).astype(np.float64)
+        return (cum.sum(axis=0) / (k * len(queries))).astype(np.float64), stats
