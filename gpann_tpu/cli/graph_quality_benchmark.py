@@ -22,9 +22,10 @@ from gpann_tpu.eval import compute_ground_truth, oracle_recall
 from gpann_tpu.gp.partitioning import partition_dense_graph
 from gpann_tpu.graph import ApproximateKNNGraphBuilder, build_exact_knn_graph, graph_recall
 
-REPS_GRID = (1, 2, 3)
-FANOUT_GRID = (1, 2, 3, 5)
-CLUSTER_SIZE_GRID = (2500, 5000)
+# the reference's full 125-config grid (graph_quality_benchmark.cpp:17-35)
+REPS_GRID = (2, 3, 5, 8, 10)
+FANOUT_GRID = (2, 3, 5, 8, 10)
+CLUSTER_SIZE_GRID = (500, 1000, 2000, 5000, 10000)
 DEGREES = (10,)
 
 

@@ -92,6 +92,14 @@ def main(argv=None) -> int:
         num_shards = len(clusters)
         print(f"{num_shards} shards, sizes {[len(c) for c in clusters]}", flush=True)
         ivf = IVFIndex(points, clusters, metric=metric)
+        # second in-shard technology (reference IVF-HNSW at fixed ef=120,
+        # small_scale_queries.cpp:132-134): budgeted two-level scan whose
+        # in-shard work is capped at sub_nprobe sub-clusters — sub-linear in
+        # shard size where BruteForce is linear
+        from gpann_tpu.search.two_level import TwoLevelIVF
+
+        two_level = TwoLevelIVF(points, clusters, metric=metric)
+        TWO_LEVEL_SUB_NPROBE = 4
 
         # routers (small_scale_queries.cpp:96-129: KMTR budget 50k /
         # 32 centroids, then flat router over extracted points)
@@ -108,18 +116,21 @@ def main(argv=None) -> int:
             rlat, probe_order = time_fn(route, queries, reps=3)
             probe_order = np.asarray(probe_order)
             rlat_per_q = rlat / len(queries)
-            for engine in ("FlatScan", "GroupedScan"):
+            # shard-query types mirror the reference's BruteForce (linear
+            # exact scan) vs HNSW (budgeted, sub-linear) contrast
+            # (small_scale_queries.cpp:146-189)
+            for engine in ("BruteForce", "TwoLevel"):
                 for nprobes in range(1, num_shards + 1):
                     probes = probe_order[:, :nprobes]
-                    if engine == "FlatScan":
-                        qlat, (dd, ii) = time_fn(
-                            ivf.search_probed, queries, probes, num_neighbors,
-                            reps=3,
-                        )
-                    else:
+                    if engine == "BruteForce":
                         qlat, (dd, ii) = time_fn(
                             ivf.search_probed_grouped, queries, probes,
                             num_neighbors, reps=3,
+                        )
+                    else:
+                        qlat, (dd, ii) = time_fn(
+                            two_level.search, queries, probes, num_neighbors,
+                            TWO_LEVEL_SUB_NPROBE, reps=3,
                         )
                     rec = recall_from_ids(
                         points, queries, ii, kth, num_neighbors, metric=metric

@@ -306,9 +306,17 @@ def symmetrize_to_csr(
 
 
 def graph_recall(approx: Graph, exact: Graph) -> float:
-    """Fraction of exact kNN edges recovered (graph_quality_benchmark.cpp:53-66)."""
+    """Fraction of exact kNN edges recovered (graph_quality_benchmark.cpp:53-66).
+
+    Vectorized membership test: both neighbor lists sorted per row, then a
+    searchsorted-style row-wise lookup (no per-node Python loop)."""
     n, k = exact.shape
+    ex = np.sort(exact, axis=1)
+    # rank of each approx neighbor within its sorted exact row; a hit iff the
+    # exact entry at that rank equals it. O(k) column passes, no row loop.
     hits = 0
-    for i in range(n):
-        hits += len(np.intersect1d(approx[i], exact[i]))
+    for c in range(approx.shape[1]):
+        col = approx[:, c : c + 1]
+        pos = np.clip((ex < col).sum(axis=1), 0, k - 1)
+        hits += int((np.take_along_axis(ex, pos[:, None], axis=1)[:, 0] == col[:, 0]).sum())
     return hits / (n * k)

@@ -24,7 +24,7 @@ from gpann_tpu.core.timer import time_fn
 from gpann_tpu.eval.combination import RoutingConfig
 from gpann_tpu.route.kmeans_tree import KMeansTreeRouter, KMeansTreeRouterOptions
 
-VOTING_NEIGHBORS = (20, 40, 80, 120, 250, 500)  # routes.cpp:36,229
+VOTING_NEIGHBORS = (20, 40, 80, 120, 200, 250, 300, 400, 500)  # routes.cpp:36,229
 HNSW_RULES = ("min_dist", "pyramid", "spann", "frequency")
 # the reference's active router-size grid (routes.cpp:130, #else branch)
 BUDGET_GRID = (

