@@ -7,7 +7,14 @@ the paper's own headline comparison, reproduced on synthetic DEEP-like data.
 Writes ``exp_outputs/partition_quality.csv`` with schema
 ``method,num probes,recall,type`` (type in {oracle, routed}).
 
-Usage: python exp_scripts/validate_partition_quality.py [n] [k]
+Usage: python exp_scripts/validate_partition_quality.py [n] [k] [kind]
+
+``kind`` (default ``blobs``) selects the generator from
+``gpann_tpu.eval.synth``: ``blobs`` is the separable mixture (GP trivially
+wins, oracle ~1.0); ``hard`` is the non-separable hierarchical mixture where
+neighborhoods straddle shard boundaries — the regime where the GP-vs-KMeans
+ordering is actually informative (stand-in for big-ann data: zero egress).
+Output column ``dataset`` records the kind.
 """
 
 import os
@@ -22,15 +29,13 @@ import numpy as np
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     shards = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    kind = sys.argv[3] if len(sys.argv) > 3 else "blobs"
     k = 10
-    rng = np.random.default_rng(555)
-    nb = 64
     d = 96
-    centers = rng.standard_normal((nb, d)).astype(np.float32) * 2.0
-    lbl = rng.integers(0, nb, size=n)
-    pts = (centers[lbl] + 0.6 * rng.standard_normal((n, d))).astype(np.float32)
-    q = (centers[rng.integers(0, nb, size=1024)]
-         + 0.6 * rng.standard_normal((1024, d))).astype(np.float32)
+    from gpann_tpu.eval.synth import generate, generate_queries
+
+    pts = generate(kind, n, d, seed=555)
+    q = generate_queries(kind, 1024, d, seed=555)
 
     from gpann_tpu.eval import compute_ground_truth, oracle_recall
     from gpann_tpu.gp import api
@@ -40,7 +45,7 @@ def main() -> int:
     from gpann_tpu.core.partition import clusters_to_cover
 
     gt_ids, _ = compute_ground_truth(pts, q, k)
-    rows = ["method,num probes,recall,type"]
+    rows = ["method,num probes,recall,type,dataset"]
     for method in ("GP", "BalancedKMeans", "Random"):
         t0 = time.time()
         clusters = api.partition(pts, shards, method)
@@ -51,7 +56,7 @@ def main() -> int:
         print(f"{method}: build {dt:.0f}s sizes {sizes.min()}-{sizes.max()} "
               f"oracle@1 {curve[0]:.4f}", flush=True)
         for j, r in enumerate(curve):
-            rows.append(f"{method},{j + 1},{r:.4f},oracle")
+            rows.append(f"{method},{j + 1},{r:.4f},oracle,{kind}")
         # routed recall: centroid router (single-center, the cheap baseline)
         router = centroid_router(pts, clusters)
         probes = router.query(q, rule="min_dist")
@@ -60,11 +65,12 @@ def main() -> int:
             list(probes), cover, gt_ids, k, shards
         )
         for j, r in enumerate(routed):
-            rows.append(f"{method},{j + 1},{r:.4f},routed")
+            rows.append(f"{method},{j + 1},{r:.4f},routed,{kind}")
         print(f"{method}: routed@1 {routed[0]:.4f} @4 {routed[3]:.4f}", flush=True)
 
     os.makedirs("exp_outputs", exist_ok=True)
-    out = "exp_outputs/partition_quality.csv"
+    out = (f"exp_outputs/partition_quality_{kind}.csv" if kind != "blobs"
+           else "exp_outputs/partition_quality.csv")
     with open(out, "w") as f:
         f.write("\n".join(rows) + "\n")
     print(f"wrote {out}")
