@@ -47,6 +47,7 @@ TARGET_RECALL = 0.95
 SEED = 555
 VOTING_T = 60
 RULE = "min_dist"
+QUERY_BLOCK = 512   # measured best on v5e (padding-block cost scales with qb)
 
 _T0 = time.time()
 
@@ -134,53 +135,14 @@ def main() -> int:
         np.savez(cache, **art)
         log("artifact cache saved")
 
-    engine = ServingEngine(
-        pts, clusters, art["routing_points"], art["routing_labels"],
-        scan_mode="binned",
-    )
     q_dev = jnp.asarray(q)  # queries resident on device (one upload)
-    log("engine resident")
-
-    if "nprobes" not in art:
-        curve = engine.recall_curve(q_dev, K, kth, voting_t=VOTING_T,
-                                    rule=RULE)
-        ok = np.nonzero(curve >= TARGET_RECALL)[0]
-        art["nprobes"] = np.int64(ok[0] + 1 if len(ok) else SHARDS)
-        art["curve"] = curve
-        np.savez(cache, **art)
-        log("recall curve: "
-            + " ".join(f"{p + 1}:{r:.4f}" for p, r in enumerate(curve)))
-    nprobes = int(art["nprobes"])
-
-    # the measured program (serve/serve_device share one compiled fn)
-    d0, i0 = engine.serve(q_dev, K, nprobes, voting_t=VOTING_T, rule=RULE)
-    recall = recall_from_ids(pts, q, i0, kth, K)
-    log(f"nprobes={nprobes} recall={recall:.4f} (serve program compiled)")
-
-    # pipelined throughput: batches dispatched back-to-back, results chained
-    # on device, ONE final readback — the steady-state serving number (a
-    # per-batch D2H readback costs ~50 ms of tunnel round-trip that a real
-    # pipeline overlaps with compute)
-    def serve_dev():
-        return engine.serve_device(q_dev, K, nprobes, voting_t=VOTING_T,
-                                   rule=RULE)
-
-    d0, _ = serve_dev()
-    float(jnp.sum(jnp.where(jnp.isfinite(d0), d0, 0.0)))  # warm + sync
     reps = 10
-    t0 = time.time()
-    acc = None
-    for _ in range(reps):
-        d0, _ = serve_dev()
-        acc = d0 if acc is None else acc + d0
-    float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))  # sync
-    pipelined_lat = (time.time() - t0) / reps
-    qps = NQ / pipelined_lat
-    log(f"serve: {qps:.0f} qps ({pipelined_lat * 1e3:.1f} ms/batch)")
 
-    # brute-force full-scan baseline on the same chip, using the SAME scan
-    # technology (Pallas bin-top-2 kernel over the whole base) so vs_baseline
-    # isolates the partitioning/routing advantage, not kernel quality
+    # brute-force full-scan baseline FIRST, on an otherwise-empty chip: the
+    # same Pallas kernel over the whole base, so vs_baseline isolates the
+    # partitioning/routing advantage, not kernel quality. (Measured after
+    # the 3.2 GB engine was resident, the brute scan ran up to 3x slower —
+    # HBM pressure made the baseline noisy and vs_baseline meaningless.)
     try:
         from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
 
@@ -195,6 +157,7 @@ def main() -> int:
             acc = bd if acc is None else acc + bd
         float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))
         brute_lat = (time.time() - t0) / reps
+        del pj, padded, bd, acc
     except Exception as e:  # pallas unavailable: XLA top_k fallback
         from gpann_tpu.core.distances import topk_neighbors
         from gpann_tpu.core.timer import time_fn
@@ -205,8 +168,55 @@ def main() -> int:
             lambda: topk_neighbors(q_dev, pj, K), reps=3, warmup=1
         )
         brute_recall = 1.0
+        del pj
     brute_qps = NQ / brute_lat
     log(f"brute: {brute_qps:.0f} qps recall={brute_recall:.4f}")
+
+    # approx vote set (lax.approx_max_k): the reference's vote set is itself
+    # an approximate HNSW result (hnsw_router.h:106); measured 24 ms/batch
+    # faster routing with identical chosen-nprobes recall
+    engine = ServingEngine(
+        pts, clusters, art["routing_points"], art["routing_labels"],
+        scan_mode="binned", voting_impl="approx",
+    )
+    log("engine resident")
+
+    if "nprobes" not in art:
+        curve = engine.recall_curve(q_dev, K, kth, voting_t=VOTING_T,
+                                    rule=RULE, query_block=QUERY_BLOCK)
+        ok = np.nonzero(curve >= TARGET_RECALL)[0]
+        art["nprobes"] = np.int64(ok[0] + 1 if len(ok) else SHARDS)
+        art["curve"] = curve
+        np.savez(cache, **art)
+        log("recall curve: "
+            + " ".join(f"{p + 1}:{r:.4f}" for p, r in enumerate(curve)))
+    nprobes = int(art["nprobes"])
+
+    # the measured program (serve/serve_device share one compiled fn)
+    d0, i0 = engine.serve(q_dev, K, nprobes, voting_t=VOTING_T, rule=RULE,
+                          query_block=QUERY_BLOCK)
+    recall = recall_from_ids(pts, q, i0, kth, K)
+    log(f"nprobes={nprobes} recall={recall:.4f} (serve program compiled)")
+
+    # pipelined throughput: batches dispatched back-to-back, results chained
+    # on device, ONE final readback — the steady-state serving number (a
+    # per-batch D2H readback costs ~50 ms of tunnel round-trip that a real
+    # pipeline overlaps with compute)
+    def serve_dev():
+        return engine.serve_device(q_dev, K, nprobes, voting_t=VOTING_T,
+                                   rule=RULE, query_block=QUERY_BLOCK)
+
+    d0, _ = serve_dev()
+    float(jnp.sum(jnp.where(jnp.isfinite(d0), d0, 0.0)))  # warm + sync
+    t0 = time.time()
+    acc = None
+    for _ in range(reps):
+        d0, _ = serve_dev()
+        acc = d0 if acc is None else acc + d0
+    float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))  # sync
+    pipelined_lat = (time.time() - t0) / reps
+    qps = NQ / pipelined_lat
+    log(f"serve: {qps:.0f} qps ({pipelined_lat * 1e3:.1f} ms/batch)")
 
     print(
         json.dumps(
