@@ -47,7 +47,7 @@ TARGET_RECALL = 0.95
 SEED = 555
 VOTING_T = 60
 RULE = "min_dist"
-QUERY_BLOCK = 512   # measured best on v5e (padding-block cost scales with qb)
+QUERY_BLOCK = 128   # measured best on v5e with the single-call block kernel
 
 _T0 = time.time()
 

@@ -144,16 +144,27 @@ class ServingEngine:
         cap = _round_up(max(int(sizes.max()), 1), pad_multiple)
         self.capacity = cap
         self.max_size = int(sizes.max())
-        blocks = np.zeros((self.num_shards, cap, points.shape[1]), np.float32)
+        self.dim = points.shape[1]
+        # dims pre-padded to the 128-lane tiling: padding 96->128 inside the
+        # serving jit re-copied the whole 3+ GB block array every dispatch
+        d_pad = (-(-self.dim // 128) * 128) if scan_mode == "binned" else self.dim
+        blocks = np.zeros((self.num_shards, cap, d_pad), np.float32)
         ids = np.full((self.num_shards, cap), -1, np.int32)
         for b, members in enumerate(clusters):
             members = np.asarray(members, np.int64)
-            blocks[b, : len(members)] = points[members]
+            blocks[b, : len(members), : self.dim] = points[members]
             ids[b, : len(members)] = members
-        self.shard_points = jnp.asarray(blocks)
+        self.dim_pad = d_pad
+        # stored FLAT [s*cap, d]: the multi-block kernel DMAs shard windows
+        # straight out of this array (no per-block gather); the exact path
+        # reshapes to [s, cap, d] inside its jit (free)
+        self.shard_points = jnp.asarray(
+            blocks.reshape(self.num_shards * cap, d_pad)
+        )
+        del blocks
         # sizes with a trailing 0 entry: dummy shard id == num_shards
         self.shard_sizes_ext = jnp.asarray(np.concatenate([sizes, [0]]))
-        self.shard_ids = jnp.asarray(ids)
+        self.shard_ids = jnp.asarray(ids.reshape(-1))
         self.router_points = jnp.asarray(routing_points, jnp.float32)
         self.router_labels = jnp.asarray(routing_labels, jnp.int32)
         # exact f32 squared norms of the routing points (computed in f64 on
@@ -184,6 +195,7 @@ class ServingEngine:
                 scan_mode = "exact"
 
         voting_impl = self.voting_impl
+        dim_pad = self.dim_pad
 
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
                      router_points, router_labels, router_sq, kth=None):
@@ -223,65 +235,94 @@ class ServingEngine:
             block_shard = jnp.minimum(block_shard, s)
 
             # ---- scan ----
+            if queries.shape[1] != dim_pad:  # zero dims change no distance
+                q_scan = jnp.pad(
+                    queries, ((0, 0), (0, dim_pad - queries.shape[1]))
+                )
+            else:
+                q_scan = queries
             queries_ext = jnp.concatenate(
-                [queries, jnp.zeros((1, queries.shape[1]), queries.dtype)]
+                [q_scan, jnp.zeros((1, dim_pad), q_scan.dtype)]
             )
             q_sq_ext = sq_norms(queries_ext) if metric == "l2" else None
 
-            def scan_block(qidx, b):
-                qs = queries_ext[qidx]
-                blk = shard_points[jnp.minimum(b, s - 1)]
-                size = shard_sizes_ext[b]  # 0 for dummy shard s
-                bids = shard_ids[jnp.minimum(b, s - 1)]
-                if scan_mode == "binned":
-                    from gpann_tpu.search.pallas_scan import fused_topk
+            if scan_mode == "binned":
+                # ONE pallas_call for the whole block list: the former
+                # lax.scan-of-kernels paid ~2 ms/block of dispatch + a
+                # 100 MB HBM gather per block (measured; see
+                # fused_topk_blocks). Padding blocks skip in-kernel.
+                from gpann_tpu.search.pallas_scan import fused_topk_blocks
 
-                    tq_eff = min(qb, 128)
-                    if qb % tq_eff:
-                        raise ValueError(
-                            f"query_block={qb} must be a multiple of {tq_eff}"
-                        )
-                    # size==0 for the dummy shard masks every row in-kernel
-                    d, pos2 = fused_topk(qs, blk, size, k, metric,
-                                         interpret=interpret, tq=tq_eff)
-                    return d, bids[pos2]
-                dots = jnp.dot(qs, blk.T, preferred_element_type=jnp.float32,
-                               precision=precision)
-                if metric == "mips":
-                    dm = 1.0 - dots
-                else:
-                    dm = (q_sq_ext[qidx][:, None] + sq_norms(blk)[None, :]
-                          - 2.0 * dots)
-                valid = jnp.arange(cap) < size
-                dm = jnp.where(valid[None, :], dm, jnp.inf)
-                negk, posk = jax.lax.top_k(-dm, _scan_k(k, cap, rescore))
-                if rescore:
-                    d, pos2 = _exact_rescore(qs, blk, -negk, posk, k, metric)
-                    return d, bids[pos2]
-                return -negk[:, :k], bids[posk[:, :k]]
-
-            def body(carry, inp):
-                qidx, b = inp
-                # padding blocks (dummy shard or all-padding queries) skip the
-                # scan entirely — the grouping's static worst case adds up to
-                # s+1 such blocks per batch
-                is_real = (shard_sizes_ext[b] > 0) & jnp.any(qidx < m)
-                d, i = jax.lax.cond(
-                    is_real,
-                    lambda args: scan_block(*args),
-                    lambda args: (
-                        jnp.full((qb, k), jnp.inf, jnp.float32),
-                        jnp.full((qb, k), -1, jnp.int32),
-                    ),
-                    (qidx, b),
+                tq_eff = min(qb, 128)
+                if qb % tq_eff:
+                    raise ValueError(
+                        f"query_block={qb} must be a multiple of {tq_eff}"
+                    )
+                qrows = queries_ext[pair_q]                   # [total, d]
+                safe_shard = jnp.minimum(block_shard, s - 1)
+                row_off = safe_shard * cap
+                block_has_real = jnp.any(
+                    pair_q.reshape(nb, qb) < m, axis=1
                 )
-                return carry, (d, i)
+                sizes_blk = jnp.where(
+                    block_has_real, shard_sizes_ext[block_shard], 0
+                ).astype(jnp.int32)
+                bd, lpos = fused_topk_blocks(
+                    qrows, shard_points, row_off, sizes_blk, k, metric,
+                    qb=qb, cap=cap, tq=tq_eff, interpret=interpret,
+                )
+                row_off_rows = jnp.repeat(
+                    row_off, qb, total_repeat_length=total
+                )
+                bi = shard_ids[row_off_rows[:, None] + lpos]
+            else:
+                sp3 = shard_points.reshape(s, cap, dim_pad)
+                ids2 = shard_ids.reshape(s, cap)
 
-            _, (bd, bi) = jax.lax.scan(
-                body, None, (pair_q.reshape(nb, qb), block_shard)
-            )
-            bd = bd.reshape(total, k)
-            bi = bi.reshape(total, k)
+                def scan_block(qidx, b):
+                    qs = queries_ext[qidx]
+                    blk = sp3[jnp.minimum(b, s - 1)]
+                    size = shard_sizes_ext[b]  # 0 for dummy shard s
+                    bids = ids2[jnp.minimum(b, s - 1)]
+                    dots = jnp.dot(qs, blk.T,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+                    if metric == "mips":
+                        dm = 1.0 - dots
+                    else:
+                        dm = (q_sq_ext[qidx][:, None] + sq_norms(blk)[None, :]
+                              - 2.0 * dots)
+                    valid = jnp.arange(cap) < size
+                    dm = jnp.where(valid[None, :], dm, jnp.inf)
+                    negk, posk = jax.lax.top_k(-dm, _scan_k(k, cap, rescore))
+                    if rescore:
+                        d, pos2 = _exact_rescore(qs, blk, -negk, posk, k,
+                                                 metric)
+                        return d, bids[pos2]
+                    return -negk[:, :k], bids[posk[:, :k]]
+
+                def body(carry, inp):
+                    qidx, b = inp
+                    # padding blocks (dummy shard or all-padding queries)
+                    # skip the scan — the grouping's static worst case adds
+                    # up to s+1 such blocks per batch
+                    is_real = (shard_sizes_ext[b] > 0) & jnp.any(qidx < m)
+                    d, i = jax.lax.cond(
+                        is_real,
+                        lambda args: scan_block(*args),
+                        lambda args: (
+                            jnp.full((qb, k), jnp.inf, jnp.float32),
+                            jnp.full((qb, k), -1, jnp.int32),
+                        ),
+                        (qidx, b),
+                    )
+                    return carry, (d, i)
+
+                _, (bd, bi) = jax.lax.scan(
+                    body, None, (pair_q.reshape(nb, qb), block_shard)
+                )
+                bd = bd.reshape(total, k)
+                bi = bi.reshape(total, k)
 
             # ---- merge ----
             out_d = jnp.full((m + 1, nprobes, k), jnp.inf).at[
