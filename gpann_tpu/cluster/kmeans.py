@@ -343,15 +343,31 @@ def _capacity_priority_assign(
     (sort by distance, per-cluster rank < room). Unplaced points retry
     against clusters with room.
     """
+    from gpann_tpu.cluster.streaming import _masked_nearest
+
     n = points.shape[0]
     k = centroids.shape[0]
     cj = jnp.asarray(centroids)
     part = np.full(n, -1, np.int32)
     room = np.full(k, max_size, np.int64)
 
-    def admit(ids: np.ndarray, dm: np.ndarray) -> np.ndarray:
-        target = np.where(room[None, :] > 0, dm, np.inf).argmin(axis=1)
-        d_best = dm[np.arange(len(dm)), target]
+    def nearest_open(chunk: np.ndarray):
+        # device-side masked argmin: reads back 8 bytes/point instead of the
+        # [m, k] distance matrix (D2H here is ~20 MB/s); power-of-two row
+        # padding bounds compiles across ragged retry rounds
+        real = len(chunk)
+        m_pad = max(256, 1 << (real - 1).bit_length())
+        if m_pad != real:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], m_pad - real, axis=0)]
+            )
+        tgt, db = _masked_nearest(
+            jnp.asarray(chunk), cj, jnp.asarray(room > 0), metric
+        )
+        return np.asarray(tgt)[:real], np.asarray(db)[:real]
+
+    def admit(ids: np.ndarray, target: np.ndarray,
+              d_best: np.ndarray) -> np.ndarray:
         prio = np.argsort(d_best, kind="stable")
         by_t = np.argsort(target[prio], kind="stable")
         final = prio[by_t]
@@ -364,14 +380,12 @@ def _capacity_priority_assign(
 
     rest_parts = []
     for s in range(0, n, block):
-        dm = np.asarray(
-            pairwise_distances(jnp.asarray(points[s : s + block]), cj, metric)
-        )
-        rest_parts.append(admit(np.arange(s, min(s + block, n)), dm))
+        tgt, db = nearest_open(np.asarray(points[s : s + block], np.float32))
+        rest_parts.append(admit(np.arange(s, min(s + block, n)), tgt, db))
     rest = np.concatenate(rest_parts) if rest_parts else np.empty(0, np.int64)
     while len(rest):
-        dm = np.asarray(pairwise_distances(jnp.asarray(points[rest]), cj, metric))
-        rest = admit(rest, dm)
+        tgt, db = nearest_open(np.asarray(points[rest], np.float32))
+        rest = admit(rest, tgt, db)
     return part
 
 

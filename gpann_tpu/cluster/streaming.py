@@ -27,6 +27,19 @@ import numpy as np
 from gpann_tpu.core.distances import Metric, pairwise_distances
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _masked_nearest(chunk, centroids, open_mask, metric: Metric = "l2"):
+    """(nearest OPEN centroid, its distance) per point, on device.
+
+    Readback is [m] int32 + [m] f32 (8 bytes/point) instead of the full
+    [m, k] distance matrix — decisive on this stack's ~20 MB/s D2H link
+    (a 64M-point admission pass would read back 16 GB otherwise)."""
+    dm = pairwise_distances(chunk, centroids, metric)
+    dm = jnp.where(open_mask[None, :], dm, jnp.inf)
+    tgt = jnp.argmin(dm, axis=1).astype(jnp.int32)
+    return tgt, jnp.take_along_axis(dm, tgt[:, None], axis=1)[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _chunk_stats(chunk, centroids, k: int, metric: Metric):
     dm = pairwise_distances(chunk, centroids, metric)
@@ -145,11 +158,11 @@ def streaming_capacity_partition(
     part = np.full(n, -1, np.int32)
     cj = jnp.asarray(centroids)
 
-    def admit(global_ids: np.ndarray, dm: np.ndarray) -> np.ndarray:
+    def admit(global_ids: np.ndarray, target: np.ndarray,
+              d_best: np.ndarray) -> np.ndarray:
         """Vectorized distance-priority admission under per-part room;
-        returns the ids that could not be placed in their nearest open part."""
-        target = np.where(room[None, :] > 0, dm, np.inf).argmin(axis=1)
-        d_best = dm[np.arange(len(dm)), target]
+        returns the ids that could not be placed in their nearest open part.
+        ``target`` is each point's nearest OPEN part (device-computed)."""
         prio = np.argsort(d_best, kind="stable")
         t_prio = target[prio]
         by_t = np.argsort(t_prio, kind="stable")
@@ -161,17 +174,30 @@ def streaming_capacity_partition(
         np.subtract.at(room, t_fin[ok], 1)
         return global_ids[final[~ok]]
 
+    def nearest_open(chunk: np.ndarray):
+        """Device call with power-of-two row padding (compiles stay O(log n)
+        across the ragged final chunk and shrinking retry rounds)."""
+        real = len(chunk)
+        m_pad = max(256, 1 << (real - 1).bit_length())
+        if m_pad != real:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], m_pad - real, axis=0)]
+            )
+        tgt, db = _masked_nearest(
+            jnp.asarray(chunk), cj, jnp.asarray(room > 0), metric
+        )
+        return np.asarray(tgt)[:real], np.asarray(db)[:real]
+
     leftovers = []
     for s in range(0, n, chunk_rows):
         chunk = np.asarray(points[s : s + chunk_rows], np.float32)
-        dm = np.asarray(pairwise_distances(jnp.asarray(chunk), cj, metric))
-        rest = admit(np.arange(s, s + len(chunk)), dm)
+        tgt, db = nearest_open(chunk)
+        rest = admit(np.arange(s, s + len(chunk)), tgt, db)
         leftovers.append(rest)
     rest = np.concatenate(leftovers) if leftovers else np.empty(0, np.int64)
     # retry rounds: only parts with room remain eligible; total capacity
     # k*cap >= n guarantees termination
     while len(rest):
-        chunk = np.asarray(points[rest], np.float32)
-        dm = np.asarray(pairwise_distances(jnp.asarray(chunk), cj, metric))
-        rest = admit(rest, dm)
+        tgt, db = nearest_open(np.asarray(points[rest], np.float32))
+        rest = admit(rest, tgt, db)
     return part
