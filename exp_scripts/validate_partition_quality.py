@@ -40,7 +40,11 @@ def main() -> int:
     from gpann_tpu.eval import compute_ground_truth, oracle_recall
     from gpann_tpu.gp import api
     from gpann_tpu.core.partition import clusters_to_partition, cluster_sizes
-    from gpann_tpu.route import centroid_router
+    from gpann_tpu.route import (
+        KMeansTreeRouter,
+        KMeansTreeRouterOptions,
+        centroid_router,
+    )
     from gpann_tpu.cli.oracle_recall import recall_for_increasing_probes
     from gpann_tpu.core.partition import clusters_to_cover
 
@@ -57,16 +61,28 @@ def main() -> int:
               f"oracle@1 {curve[0]:.4f}", flush=True)
         for j, r in enumerate(curve):
             rows.append(f"{method},{j + 1},{r:.4f},oracle,{kind}")
-        # routed recall: centroid router (single-center, the cheap baseline)
-        router = centroid_router(pts, clusters)
-        probes = router.query(q, rule="min_dist")
-        cover = clusters_to_cover(clusters, n=n)
-        routed = recall_for_increasing_probes(
-            list(probes), cover, gt_ids, k, shards
+        # routed recall under BOTH routers: the single-centroid baseline
+        # (cheap, favors centroid-shaped partitions) and the reference's
+        # k-means-tree routing-points router (kmeans_tree_router.h; the one
+        # the paper pairs with GP - GP shards are geometric fragments a
+        # single centroid cannot represent)
+        routers = {"routed-centroid": centroid_router(pts, clusters).query}
+        opts = KMeansTreeRouterOptions(num_centroids=32, budget=20_000)
+        kmtr = KMeansTreeRouter().train(pts, clusters, opts, seed=555)
+        routers["routed"] = lambda qq, rule: kmtr.flat.query(
+            qq, num_voting_neighbors=60, rule=rule
         )
-        for j, r in enumerate(routed):
-            rows.append(f"{method},{j + 1},{r:.4f},routed,{kind}")
-        print(f"{method}: routed@1 {routed[0]:.4f} @4 {routed[3]:.4f}", flush=True)
+        probes = None
+        cover = clusters_to_cover(clusters, n=n)
+        for rtype, route in routers.items():
+            probes = route(q, rule="min_dist")
+            routed = recall_for_increasing_probes(
+                list(np.asarray(probes)), cover, gt_ids, k, shards
+            )
+            for j, r in enumerate(routed):
+                rows.append(f"{method},{j + 1},{r:.4f},{rtype},{kind}")
+            print(f"{method} {rtype}: @1 {routed[0]:.4f} @4 {routed[3]:.4f}",
+                  flush=True)
 
     os.makedirs("exp_outputs", exist_ok=True)
     out = (f"exp_outputs/partition_quality_{kind}.csv" if kind != "blobs"
