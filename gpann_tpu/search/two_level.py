@@ -99,22 +99,21 @@ class TwoLevelIVF:
             )
         )
         out = np.full((m, nprobes * sub_nprobe), -1, np.int32)
-        # per shard: the sub ids; per query: ranked by centroid distance
-        subs_of_shard = [
-            np.nonzero(self.shard_of_sub == b)[0] for b in range(self.num_shards)
-        ]
+        # vectorized per probe slot: mask sub-centroid distances to the
+        # probed shard's subs, partial-sort the sub_nprobe closest (no
+        # per-(slot, shard) Python loop — 100k-query sets stay tractable)
+        take = min(sub_nprobe, self.num_subs)
         for j in range(nprobes):
             shard = shard_probes[:, j]
-            for b in range(self.num_shards):
-                qs = np.nonzero(shard == b)[0]
-                if len(qs) == 0:
-                    continue
-                subs = subs_of_shard[b]
-                take = min(sub_nprobe, len(subs))
-                if take == 0:
-                    continue
-                local = np.argsort(dm[np.ix_(qs, subs)], axis=1, kind="stable")[:, :take]
-                out[qs[:, None], j * sub_nprobe + np.arange(take)[None, :]] = subs[local]
+            mask = self.shard_of_sub[None, :] == shard[:, None]
+            dmj = np.where(mask, dm, np.inf)
+            part = np.argpartition(dmj, take - 1, axis=1)[:, :take]
+            pd = np.take_along_axis(dmj, part, axis=1)
+            order = np.argsort(pd, axis=1, kind="stable")
+            sel = np.take_along_axis(part, order, axis=1)
+            sd = np.take_along_axis(pd, order, axis=1)
+            sel = np.where(np.isfinite(sd), sel, -1).astype(np.int32)
+            out[:, j * sub_nprobe : j * sub_nprobe + take] = sel
         return out
 
     # -- serving ----------------------------------------------------------------
