@@ -51,6 +51,13 @@ def main(argv=None) -> int:
     ap.add_argument("--eps", type=float, default=0.05)
     ap.add_argument("--train-sample", type=int, default=4_000_000)
     ap.add_argument("--out", default="exp_outputs/scale64m.csv")
+    ap.add_argument("--shard-chunk", type=int, default=0,
+                    help="process the curve pass in child processes of this "
+                         "many shards each (bounds the axon client's "
+                         "host-copy-per-upload leak; 0 = in-process)")
+    ap.add_argument("--curve-partial", default=None,
+                    help="internal: 'lo:hi:out.npz' — scan only shards "
+                         "[lo,hi), dump candidate tables, exit")
     args = ap.parse_args(argv)
 
     from gpann_tpu.cluster.streaming import streaming_capacity_partition
@@ -125,10 +132,55 @@ def main(argv=None) -> int:
 
     clusters = partition_to_clusters(part, args.shards)
     engine = StreamedShardEngine(pts, clusters, rp, rl)
+
+    if args.curve_partial:
+        # child mode: scan shards [lo, hi) into partial candidate tables
+        lo, hi, out_npz = args.curve_partial.split(":")
+        tab_d, tab_i, stats = engine.search(
+            queries, K, engine.num_shards, return_tables=True,
+            shard_range=(int(lo), int(hi)),
+        )
+        np.savez(out_npz, tab_d=tab_d, tab_i=tab_i,
+                 bytes=np.int64(stats["bytes_uploaded"]))
+        log(f"partial [{lo},{hi}) done")
+        return 0
+
     t0 = time.time()
-    curve, stats = engine.recall_curve(queries, K, kth, verbose=False)
+    if args.shard_chunk and args.shards > args.shard_chunk:
+        # subprocess-chunked pass: each child's address space (and thus the
+        # axon client's leaked host upload copies) dies with it
+        import subprocess
+
+        gb = 0.0
+        tab_d = np.full((args.nq, args.shards, K), np.inf, np.float32)
+        tab_i = np.full((args.nq, args.shards, K), -1, np.int64)
+        for lo in range(0, args.shards, args.shard_chunk):
+            hi = min(lo + args.shard_chunk, args.shards)
+            pout = os.path.join(cache, f"{tag}_partial_{lo}_{hi}.npz")
+            cmd = [sys.executable, "-m", "gpann_tpu.cli.scale_bench",
+                   "--n", str(args.n), "--d", str(args.d),
+                   "--shards", str(args.shards), "--nq", str(args.nq),
+                   "--kind", args.kind, "--seed", str(args.seed),
+                   "--eps", str(args.eps),
+                   "--train-sample", str(args.train_sample),
+                   "--curve-partial", f"{lo}:{hi}:{pout}"]
+            subprocess.run(cmd, check=True)
+            p = np.load(pout)
+            better = p["tab_d"] < tab_d
+            tab_d = np.where(better, p["tab_d"], tab_d)
+            tab_i = np.where(better, p["tab_i"], tab_i)
+            gb += float(p["bytes"]) / 1e9
+            os.remove(pout)
+        kth_f = np.asarray(kth, np.float32)
+        thresh = kth_f + 1e-5 + 1e-4 * np.abs(kth_f)
+        hit = (tab_d <= thresh[:, None, None]).sum(axis=2)
+        cum = np.minimum(np.cumsum(hit, axis=1), K).astype(np.float64)
+        curve = cum.sum(axis=0) / (K * args.nq)
+        stats = {"route_s": 0.0, "gather_s": 0.0, "scan_s": 0.0}
+    else:
+        curve, stats = engine.recall_curve(queries, K, kth, verbose=False)
+        gb = stats["bytes_uploaded"] / 1e9
     t_curve = time.time() - t0
-    gb = stats["bytes_uploaded"] / 1e9
     log(f"curve pass: {t_curve:.0f}s ({gb:.1f} GB streamed, "
         f"route {stats['route_s']:.1f}s gather {stats['gather_s']:.1f}s "
         f"scan {stats['scan_s']:.1f}s)")

@@ -123,7 +123,13 @@ class StreamedShardEngine:
     def _scan_shard(
         self, q_block: jnp.ndarray, shard_rows: np.ndarray, size: int, k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k of each (padded) query row within one shard block."""
+        """Top-k of each (padded) query row within one shard block.
+
+        The device block is explicitly ``delete()``d after the scan: the
+        axon remote-TPU client keeps a host-side copy of every uploaded
+        buffer alive until deletion (measured: +0.55 GB RSS per 0.55 GB
+        upload, never reclaimed by GC alone — a 100M-point pass leaked
+        ~100 GB of host RAM and thrashed the page cache to death)."""
         cap = self.capacity
         blk = np.zeros((cap, shard_rows.shape[1]), np.float32)
         blk[:size] = shard_rows
@@ -142,7 +148,13 @@ class StreamedShardEngine:
             mask = pos < size
             d = jnp.where(mask, dpad, jnp.inf)
             pos = jnp.where(mask, pos, 0)
-        return np.asarray(d), np.asarray(pos)
+        dn, pn = np.asarray(d), np.asarray(pos)
+        for arr in (bj, d, pos):
+            try:
+                arr.delete()
+            except Exception:
+                pass  # interpret/CPU arrays may not support delete
+        return dn, pn
 
     # -- full evaluation pass --------------------------------------------------
     def search(
@@ -156,6 +168,7 @@ class StreamedShardEngine:
         probes: Optional[np.ndarray] = None,
         return_tables: bool = False,
         verbose: bool = False,
+        shard_range: Optional[Tuple[int, int]] = None,
     ):
         """One streamed pass over all probed shards.
 
@@ -176,7 +189,10 @@ class StreamedShardEngine:
                  "scan_s": 0.0, "shards_scanned": 0, "bytes_uploaded": 0}
         tab_d = np.full((m, nprobes, k), np.inf, np.float32)
         tab_i = np.full((m, nprobes, k), -1, np.int64)
-        for b in range(self.num_shards):
+        lo, hi = shard_range if shard_range else (0, self.num_shards)
+        import gc as _gc
+
+        for b in range(lo, hi):
             members = self.clusters[b]
             if len(members) == 0:
                 continue
@@ -202,6 +218,8 @@ class StreamedShardEngine:
             if verbose:
                 print(f"# shard {b}: {len(members)} pts, {mq} queries "
                       f"({stats['scan_s']:.1f}s scan)", flush=True)
+            if (b - lo) % 8 == 7:
+                _gc.collect()  # belt-and-braces with _scan_shard's delete()
         if return_tables:
             return tab_d, tab_i, stats
         flat_d = tab_d.reshape(m, nprobes * k)
