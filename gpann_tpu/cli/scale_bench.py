@@ -50,6 +50,14 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=555)
     ap.add_argument("--eps", type=float, default=0.05)
     ap.add_argument("--train-sample", type=int, default=4_000_000)
+    ap.add_argument("--method", default="bkm", choices=("bkm", "gp"),
+                    help="bkm = streamed balanced k-means; gp = subsample-GP"
+                         " (kNN graph + LP partition on --gp-subsample points,"
+                         " capacity stream-assignment via per-part aggregates"
+                         " — partitioning.cpp:305-356 with GP as the coarse"
+                         " partitioner)")
+    ap.add_argument("--gp-subsample", type=int, default=2_000_000)
+    ap.add_argument("--gp-aggregates", type=int, default=4096)
     ap.add_argument("--out", default="exp_outputs/scale64m.csv")
     ap.add_argument("--shard-chunk", type=int, default=0,
                     help="process the curve pass in child processes of this "
@@ -69,8 +77,24 @@ def main(argv=None) -> int:
     from gpann_tpu.search.streamed import StreamedShardEngine
 
     cache = os.path.expanduser("~/.cache/gpann_tpu")
+    # data + GT caches are method-independent; partition/router are not
     tag = f"scale_{args.kind}_{args.seed}_{args.n}_{args.d}_{args.shards}"
+    mtag = tag if args.method == "bkm" else f"{tag}_{args.method}"
     t_all = time.time()
+
+    def _stamp(path: str, seconds: float) -> None:
+        with open(path + ".time", "w") as f:
+            json.dump({"seconds": seconds}, f)
+
+    def _cached_time(path: str) -> float:
+        """Original build time of a cached stage artifact (NaN for caches
+        from before timing sidecars existed) — cache hits must NOT report
+        0.0 build cost."""
+        try:
+            with open(path + ".time") as f:
+                return float(json.load(f)["seconds"])
+        except Exception:
+            return float("nan")
 
     t0 = time.time()
     pts, pts_path = dataset_cached(args.kind, args.n, args.d, args.seed)
@@ -78,18 +102,31 @@ def main(argv=None) -> int:
     t_data = time.time() - t0
     log(f"base ready: {pts.shape} at {pts_path} ({t_data:.0f}s)")
 
-    part_path = os.path.join(cache, f"{tag}_part.npy")
+    part_path = os.path.join(cache, f"{mtag}_part.npy")
     t0 = time.time()
     if os.path.exists(part_path):
         part = np.load(part_path)
-        t_part = 0.0
+        t_part = _cached_time(part_path)
     else:
-        part = streaming_capacity_partition(
-            pts, k=args.shards, eps=args.eps, seed=args.seed,
-            train_sample=args.train_sample,
-        )
+        if args.method == "gp":
+            from gpann_tpu.gp.scale import subsample_gp_partition
+
+            part, (aggs, agg_lbl, _, _) = subsample_gp_partition(
+                pts, k=args.shards, eps=args.eps, seed=args.seed,
+                num_subsample=args.gp_subsample,
+                num_aggregate=args.gp_aggregates,
+                return_artifacts=True,
+            )
+            np.savez(os.path.join(cache, f"{mtag}_aggs.npz"),
+                     aggs=aggs, labels=agg_lbl)
+        else:
+            part = streaming_capacity_partition(
+                pts, k=args.shards, eps=args.eps, seed=args.seed,
+                train_sample=args.train_sample,
+            )
         np.save(part_path, part)
         t_part = time.time() - t0
+        _stamp(part_path, t_part)
     sizes = np.bincount(part, minlength=args.shards)
     cap = (1.0 + args.eps) * np.ceil(args.n / args.shards)
     balance = float(sizes.max() / np.ceil(args.n / args.shards))
@@ -102,20 +139,21 @@ def main(argv=None) -> int:
     if os.path.exists(gt_path):
         g = np.load(gt_path)
         gt_i, gt_d = g["ids"], g["dists"]
-        t_gt = 0.0
+        t_gt = _cached_time(gt_path)
     else:
         gt_d, gt_i = streaming_topk_neighbors(queries, pts, K)
         np.savez(gt_path, ids=gt_i, dists=gt_d)
         t_gt = time.time() - t0
+        _stamp(gt_path, t_gt)
     kth = kth_neighbor_distance(gt_d, K)
     log(f"ground truth ready ({t_gt:.0f}s)")
 
-    rt_path = os.path.join(cache, f"{tag}_router.npz")
+    rt_path = os.path.join(cache, f"{mtag}_router.npz")
     t0 = time.time()
     if os.path.exists(rt_path):
         r = np.load(rt_path)
         rp, rl = r["rp"], r["rl"]
-        t_router = 0.0
+        t_router = _cached_time(rt_path)
     else:
         rng = np.random.default_rng(args.seed + 1)
         sub = np.sort(rng.choice(args.n, size=min(args.train_sample, args.n),
@@ -128,6 +166,7 @@ def main(argv=None) -> int:
         rp, rl = kmtr.extract_points()
         np.savez(rt_path, rp=rp, rl=rl)
         t_router = time.time() - t0
+        _stamp(rt_path, t_router)
     log(f"router ready ({len(rp)} routing points) ({t_router:.0f}s)")
 
     clusters = partition_to_clusters(part, args.shards)
@@ -161,7 +200,9 @@ def main(argv=None) -> int:
                    "--n", str(args.n), "--d", str(args.d),
                    "--shards", str(args.shards), "--nq", str(args.nq),
                    "--kind", args.kind, "--seed", str(args.seed),
-                   "--eps", str(args.eps),
+                   "--eps", str(args.eps), "--method", args.method,
+                   "--gp-subsample", str(args.gp_subsample),
+                   "--gp-aggregates", str(args.gp_aggregates),
                    "--train-sample", str(args.train_sample),
                    "--curve-partial", f"{lo}:{hi}:{pout}"]
             subprocess.run(cmd, check=True)
@@ -192,14 +233,16 @@ def main(argv=None) -> int:
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
-        f.write("n,d,shards,kind,nprobes,recall,balance,"
+        f.write("n,d,shards,kind,method,nprobes,recall,balance,"
                 "curve_pass_s,gb_streamed,partition_s,gt_s,router_s\n")
         for p, r in enumerate(curve):
-            f.write(f"{args.n},{args.d},{args.shards},{args.kind},{p+1},"
+            f.write(f"{args.n},{args.d},{args.shards},{args.kind},"
+                    f"{args.method},{p+1},"
                     f"{r:.6f},{balance:.4f},{t_curve:.1f},{gb:.2f},"
                     f"{t_part:.1f},{t_gt:.1f},{t_router:.1f}\n")
     summary = {
         "n": args.n, "shards": args.shards, "kind": args.kind,
+        "method": args.method,
         "balance": round(balance, 4),
         "nprobes_at_95": nprobes,
         "recall_at_nprobes": round(float(curve[nprobes - 1]), 4),

@@ -117,46 +117,34 @@ def streaming_kmeans(
     return np.asarray(centroids), assignment
 
 
-def streaming_capacity_partition(
+def capacity_stream_assign(
     points,
+    reps: np.ndarray,
+    rep_labels: np.ndarray,
     k: int,
     eps: float = 0.05,
-    rounds: int = 10,
     chunk_rows: int = 1 << 20,
     metric: Metric = "l2",
-    seed: int = 555,
-    train_sample: Optional[int] = None,
 ) -> np.ndarray:
-    """Balanced partition for out-of-memory datasets.
+    """Assign every point to the part of its nearest representative, under
+    per-part capacity ``(1+eps)*ceil(n/k)`` — the reference's Pyramid
+    assignment rule (``partitioning.cpp:305-356``) applied to any labeled
+    representative set (centroids, aggregates of a subsample-GP partition,
+    ...), streamed in fixed chunks through the device.
 
-    Streaming Lloyd, then per-chunk distance-priority admission under global
-    per-part budgets; unadmitted points spill to their nearest part with
-    room. Guarantees max part size <= (1+eps)*ceil(n/k).
-
-    ``train_sample``: train the Lloyd centroids on an in-RAM uniform
-    subsample of that size instead of streaming every round over the full
-    set — the reference's own big-input strategy (Pyramid subsamples to 10M,
-    partitioning.cpp:271-276). Only the single admission pass then touches
-    all n points, cutting the full-base passes from ``rounds+2`` to 2.
+    Per chunk: masked nearest-OPEN-representative on device (8 B/point
+    readback), distance-priority admission against global per-part room on
+    host, retry rounds over the leftovers (a representative is OPEN while
+    its part has room; total capacity k*cap >= n guarantees termination).
     """
-    n, d = points.shape
-    if train_sample is not None and n > train_sample:
-        from gpann_tpu.cluster.kmeans import kmeans as _lloyd
-
-        rng = np.random.default_rng(seed)
-        idx = np.sort(rng.choice(n, size=train_sample, replace=False))
-        sample = np.asarray(points[idx], np.float32)
-        centroids, _ = _lloyd(sample, k=k, metric=metric, rounds=rounds,
-                              seed=seed)
-    else:
-        centroids, _ = streaming_kmeans(
-            points, k, rounds=rounds, chunk_rows=chunk_rows, metric=metric,
-            seed=seed,
-        )
+    n = points.shape[0]
+    reps = np.ascontiguousarray(reps, np.float32)
+    rep_labels = np.asarray(rep_labels, np.int64)
     cap = int((1.0 + eps) * np.ceil(n / k))
     room = np.full(k, cap, np.int64)
     part = np.full(n, -1, np.int32)
-    cj = jnp.asarray(centroids)
+    rj = jnp.asarray(reps)
+    labels_j = jnp.asarray(rep_labels)
 
     def admit(global_ids: np.ndarray, target: np.ndarray,
               d_best: np.ndarray) -> np.ndarray:
@@ -183,10 +171,9 @@ def streaming_capacity_partition(
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], m_pad - real, axis=0)]
             )
-        tgt, db = _masked_nearest(
-            jnp.asarray(chunk), cj, jnp.asarray(room > 0), metric
-        )
-        return np.asarray(tgt)[:real], np.asarray(db)[:real]
+        open_mask = jnp.asarray(room > 0)[labels_j]
+        tgt, db = _masked_nearest(jnp.asarray(chunk), rj, open_mask, metric)
+        return rep_labels[np.asarray(tgt)[:real]], np.asarray(db)[:real]
 
     leftovers = []
     for s in range(0, n, chunk_rows):
@@ -195,9 +182,50 @@ def streaming_capacity_partition(
         rest = admit(np.arange(s, s + len(chunk)), tgt, db)
         leftovers.append(rest)
     rest = np.concatenate(leftovers) if leftovers else np.empty(0, np.int64)
-    # retry rounds: only parts with room remain eligible; total capacity
-    # k*cap >= n guarantees termination
     while len(rest):
         tgt, db = nearest_open(np.asarray(points[rest], np.float32))
         rest = admit(rest, tgt, db)
     return part
+
+
+def streaming_capacity_partition(
+    points,
+    k: int,
+    eps: float = 0.05,
+    rounds: int = 10,
+    chunk_rows: int = 1 << 20,
+    metric: Metric = "l2",
+    seed: int = 555,
+    train_sample: Optional[int] = None,
+) -> np.ndarray:
+    """Balanced partition for out-of-memory datasets.
+
+    Streaming Lloyd, then per-chunk distance-priority admission under global
+    per-part budgets via :func:`capacity_stream_assign`; unadmitted points
+    spill to their nearest part with room. Guarantees max part size <=
+    (1+eps)*ceil(n/k).
+
+    ``train_sample``: train the Lloyd centroids on an in-RAM uniform
+    subsample of that size instead of streaming every round over the full
+    set — the reference's own big-input strategy (Pyramid subsamples to 10M,
+    partitioning.cpp:271-276). Only the single admission pass then touches
+    all n points, cutting the full-base passes from ``rounds+2`` to 2.
+    """
+    n, d = points.shape
+    if train_sample is not None and n > train_sample:
+        from gpann_tpu.cluster.kmeans import kmeans as _lloyd
+
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(n, size=train_sample, replace=False))
+        sample = np.asarray(points[idx], np.float32)
+        centroids, _ = _lloyd(sample, k=k, metric=metric, rounds=rounds,
+                              seed=seed)
+    else:
+        centroids, _ = streaming_kmeans(
+            points, k, rounds=rounds, chunk_rows=chunk_rows, metric=metric,
+            seed=seed,
+        )
+    return capacity_stream_assign(
+        points, centroids, np.arange(k), k, eps=eps, chunk_rows=chunk_rows,
+        metric=metric,
+    )

@@ -105,6 +105,7 @@ def topk_neighbors(
     metric: Metric = "l2",
     block_rows: int = 65536,
     precision=None,
+    n_valid=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k nearest neighbors of each query in ``base``.
 
@@ -113,6 +114,11 @@ def topk_neighbors(
     so the [m, n] distance matrix is never materialized — the TPU replacement
     for the reference's brute-force loops (``ClosestLeaders`` defs.cpp:87-96,
     ``ComputeGroundTruth`` recall.h:10-39).
+
+    ``n_valid`` (traced scalar, optional): rows ``>= n_valid`` of ``base`` are
+    padding — masked to +inf BEFORE selection, so zero-padded blocks (whose
+    padding rows would otherwise score ``|q|^2`` under L2 or ``1.0`` under
+    MIPS) can never displace real neighbors from the top-k.
     """
     _check_metric(metric)
     if precision is None:
@@ -121,6 +127,8 @@ def topk_neighbors(
     n, d = base.shape
     if n <= block_rows:
         dm = pairwise_distances(queries, base, metric, precision=precision)
+        if n_valid is not None:
+            dm = jnp.where(jnp.arange(n)[None, :] < n_valid, dm, jnp.inf)
         kk = min(k, n)
         neg, ids = jax.lax.top_k(-dm, kk)
         if kk < k:  # pad (callers use masks / n>=k in practice)
@@ -147,7 +155,8 @@ def topk_neighbors(
         else:
             dm = q_sq[:, None] + sq_norms(blk)[None, :] - 2.0 * dots
         # mask padded rows
-        valid = (blk_start + jnp.arange(block_rows)) < n
+        limit = n if n_valid is None else n_valid
+        valid = (blk_start + jnp.arange(block_rows)) < limit
         dm = jnp.where(valid[None, :], dm, jnp.inf)
         neg, pos = jax.lax.top_k(-dm, k)
         vals, idx = _merge_topk(vals, idx, -neg, pos + blk_start, k)

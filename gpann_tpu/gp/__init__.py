@@ -25,5 +25,6 @@ from gpann_tpu.gp.partitioning import (
     rebalancing_kmeans_partitioning,
     recursive_kmeans_partitioning,
 )
+from gpann_tpu.gp.scale import gp_aggregates, subsample_gp_partition
 
 __all__ = [k for k in dir() if not k.startswith("_")]

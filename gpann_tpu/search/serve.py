@@ -277,6 +277,11 @@ class ServingEngine:
                     row_off, qb, total_repeat_length=total
                 )
                 bi = shard_ids[row_off_rows[:, None] + lpos]
+                # inf-distance fillers carry clamped padded-row positions
+                # that can alias REAL point ids (the clamped shard's first
+                # rows); id-based recall would count them as hits. Match the
+                # exact path's -1 convention.
+                bi = jnp.where(jnp.isfinite(bd), bi, -1)
             else:
                 sp3 = shard_points.reshape(s, cap, dim_pad)
                 ids2 = shard_ids.reshape(s, cap)

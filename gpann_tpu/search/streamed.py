@@ -25,6 +25,7 @@ regardless of shard count.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import List, Optional, Tuple
 
@@ -39,6 +40,27 @@ from gpann_tpu.search.serve import _probe_rank
 
 def _pow2_at_least(x: int, floor: int = 256) -> int:
     return max(floor, 1 << (max(x, 1) - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "precision"))
+def _masked_rescored_topk(q_block, blk, size, k: int, metric: Metric,
+                          precision):
+    """Exact-scan shard top-k: padding-masked HIGH scan + exact f32 rescore.
+
+    One jit so no intermediate crosses the (slow) device boundary. The
+    rescore matters on the real chip: the HIGH 3-pass bf16 scan ranks with
+    ~2^-16 relative error, which loses ~5 recall points against the
+    threshold-recall rule (measured round 3: streamed 0.941 vs resident
+    0.990 on identical probes) — the resident engine and fused_topk both
+    rescore, this path must too."""
+    from gpann_tpu.core.distances import topk_neighbors
+    from gpann_tpu.search.ivf import _exact_rescore, _scan_k
+
+    kk = _scan_k(k, blk.shape[0], True)
+    dscan, pos = topk_neighbors(
+        q_block, blk, kk, metric=metric, precision=precision, n_valid=size
+    )
+    return _exact_rescore(q_block, blk, dscan, pos, k, metric)
 
 
 class StreamedShardEngine:
@@ -134,21 +156,31 @@ class StreamedShardEngine:
         blk = np.zeros((cap, shard_rows.shape[1]), np.float32)
         blk[:size] = shard_rows
         bj = jnp.asarray(blk)
-        if self.scan_mode == "binned":
+        use_binned = self.scan_mode == "binned"
+        if use_binned:
+            from gpann_tpu.search.pallas_scan import BIN
+
+            # bin-top-2 caps candidates at 2*ceil(size/BIN); tiny shards
+            # can't fill k finite candidates -> exact scan (same guard as
+            # ServingEngine._build)
+            if 2 * (size // BIN + 1) < 4 * k:
+                use_binned = False
+        if use_binned:
             from gpann_tpu.search.pallas_scan import fused_topk
 
             d, pos = fused_topk(q_block, bj, size, k, self.metric)
         else:
-            from gpann_tpu.core.distances import topk_neighbors
-
-            dpad, pos = topk_neighbors(
-                q_block, bj, k, metric=self.metric,
-                precision=self.precision,
+            # n_valid masks padding rows BEFORE top-k (zero-padding scores
+            # |q|^2 (L2) / 1.0 (MIPS) and would displace real neighbors),
+            # then exact f32 rescore restores exact ranking on-chip
+            d, pos = _masked_rescored_topk(
+                q_block, bj, jnp.int32(size), k, self.metric, self.precision
             )
-            mask = pos < size
-            d = jnp.where(mask, dpad, jnp.inf)
-            pos = jnp.where(mask, pos, 0)
         dn, pn = np.asarray(d), np.asarray(pos)
+        # inf-distance fillers may carry out-of-range / padded-row positions
+        # (binned path returns padded-bin column ids): clamp them so callers'
+        # members[pos] fancy-indexing stays in bounds
+        pn = np.where(np.isfinite(dn), pn, 0)
         for arr in (bj, d, pos):
             try:
                 arr.delete()
@@ -213,8 +245,14 @@ class StreamedShardEngine:
             stats["shards_scanned"] += 1
             stats["bytes_uploaded"] += rows.nbytes + qb.nbytes
             kk = min(k, len(members))
-            tab_d[qidx, slot, :kk] = d[:mq, :kk]
-            tab_i[qidx, slot, :kk] = members[pos[:mq, :kk]]
+            dk = d[:mq, :kk]
+            tab_d[qidx, slot, :kk] = dk
+            # -1 ids on inf-distance fillers: a clamped real id with inf
+            # distance would inflate id-based recall (recall_from_ids
+            # recomputes distances from ids)
+            tab_i[qidx, slot, :kk] = np.where(
+                np.isfinite(dk), members[pos[:mq, :kk]], -1
+            )
             if verbose:
                 print(f"# shard {b}: {len(members)} pts, {mq} queries "
                       f"({stats['scan_s']:.1f}s scan)", flush=True)

@@ -76,6 +76,48 @@ def test_memmap_input(tmp_path, setup):
     assert np.isfinite(d[:, 0]).all()
 
 
+def test_padding_rows_never_displace_neighbors():
+    """Advisor regression (round 2, high): zero-padded shard rows score
+    |q|^2 under L2; queries near the origin previously got all-inf results
+    because padding occupied the top-k before masking."""
+    rng = np.random.default_rng(0)
+    # points far from the origin, queries AT the origin: padding (dist
+    # |q|^2 ~ 0) beats every real point unless masked pre-top-k
+    pts = (rng.standard_normal((600, 8)) + 10.0).astype(np.float32)
+    clusters = [np.arange(300), np.arange(300, 600)]
+    rl = np.repeat([0, 1], 50).astype(np.int32)
+    rp = np.concatenate([pts[:50], pts[300:350]])
+    eng = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="exact")
+    q = np.zeros((4, 8), np.float32)
+    d, i, _ = eng.search(q, K, nprobes=2, voting_t=30)
+    assert np.isfinite(d).all()
+    assert (i >= 0).all()
+    # exact: matches brute force
+    gt_i, _ = compute_ground_truth(pts, q, K)
+    overlap = np.mean([
+        len(np.intersect1d(i[r], gt_i[r])) for r in range(len(q))
+    ]) / K
+    assert overlap >= 0.99, overlap
+
+
+def test_binned_tiny_shard_no_index_error():
+    """Advisor regression (round 2, medium): binned path returned
+    padded-row column ids for inf fillers on tiny shards ->
+    members[pos] IndexError; now tiny shards take the exact fallback and
+    fillers are clamped + id-masked."""
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((400, 16)).astype(np.float32)
+    # one tiny shard (30 pts), one larger
+    clusters = [np.arange(30), np.arange(30, 400)]
+    rl = np.repeat([0, 1], 30).astype(np.int32)
+    rp = np.concatenate([pts[:30], pts[30:60]])
+    eng = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="binned")
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    d, i, _ = eng.search(q, K, nprobes=2, voting_t=30)
+    # fillers are (-1, inf); every finite-distance id is a real point
+    assert ((i >= 0) == np.isfinite(d)).all()
+
+
 def test_streaming_capacity_partition_train_sample():
     pts = generate("hard", 30_000, 16, seed=11)
     part = streaming_capacity_partition(pts, k=6, eps=0.05, seed=11,
