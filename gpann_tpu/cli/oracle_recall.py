@@ -34,12 +34,15 @@ def recall_for_increasing_probes(probe_orders, cover, gt_ids, k, num_shards):
     for q, po in enumerate(probe_orders):
         po = np.asarray(po, np.int64)[:num_shards]
         P[q, : len(po)] = po
-    # membership over only the points that appear in the GT (compact ids)
+    # membership over only the points that appear in the GT (compact ids),
+    # built with one ragged CSR gather (no per-point Python loop)
+    from gpann_tpu.core.partition import cover_to_csr, csr_gather
+
     uniq, inv = np.unique(gt, return_inverse=True)
     memb = np.zeros((len(uniq), num_shards), bool)
-    for i, pid in enumerate(uniq):
-        for shard in cover[int(pid)]:
-            memb[i, int(shard)] = True
+    indptr, indices = cover_to_csr(cover)
+    owners, shards = csr_gather(indptr, indices, uniq)
+    memb[owners, shards] = True
     Mq = memb[inv.reshape(nq, k)]  # [nq, k, s]
     Psafe = np.where(P < 0, 0, P).astype(np.int64)
     idx = np.broadcast_to(Psafe[:, None, :], (nq, k, num_shards))

@@ -51,25 +51,68 @@ def clusters_to_partition(clusters: Clusters, n: int | None = None) -> Partition
 
 
 def clusters_to_cover(clusters: Clusters, n: int | None = None) -> Cover:
-    """shard->points to point->shards, supporting overlap (defs.cpp:43-55)."""
+    """shard->points to point->shards, supporting overlap (defs.cpp:43-55).
+
+    Vectorized: flat (point, part) pairs sorted by point, split by
+    searchsorted boundaries — no per-element Python loop."""
     if n is None:
         n = int(max((c.max() for c in clusters if len(c)), default=-1)) + 1
-    cover: List[List[int]] = [[] for _ in range(n)]
-    for part_id, members in enumerate(clusters):
-        for p in np.asarray(members):
-            cover[int(p)].append(part_id)
-    return [np.asarray(c, dtype=np.int32) for c in cover]
+    sizes = np.asarray([len(c) for c in clusters], np.int64)
+    if sizes.sum() == 0:
+        return [np.empty(0, np.int32) for _ in range(n)]
+    pts = np.concatenate([np.asarray(c, np.int64) for c in clusters])
+    parts = np.repeat(np.arange(len(clusters), dtype=np.int32), sizes)
+    order = np.argsort(pts, kind="stable")
+    sorted_pts = pts[order]
+    sorted_parts = parts[order]
+    bounds = np.searchsorted(sorted_pts, np.arange(n + 1))
+    return [sorted_parts[bounds[i] : bounds[i + 1]] for i in range(n)]
 
 
 def cover_to_clusters(cover: Cover, k: int | None = None) -> Clusters:
-    """point->shards to shard->points (defs.cpp:57-62)."""
+    """point->shards to shard->points (defs.cpp:57-62). Vectorized like
+    :func:`clusters_to_cover`."""
     if k is None:
         k = int(max((c.max() for c in cover if len(c)), default=-1)) + 1
-    clusters: List[List[int]] = [[] for _ in range(k)]
-    for point, shards in enumerate(cover):
-        for s in np.asarray(shards):
-            clusters[int(s)].append(point)
-    return [np.asarray(c, dtype=np.int32) for c in clusters]
+    deg = np.asarray([len(c) for c in cover], np.int64)
+    if deg.sum() == 0:
+        return [np.empty(0, np.int32) for _ in range(k)]
+    shards = np.concatenate([np.asarray(c, np.int64) for c in cover])
+    pts = np.repeat(np.arange(len(cover), dtype=np.int32), deg)
+    order = np.argsort(shards, kind="stable")
+    sorted_shards = shards[order]
+    sorted_pts = pts[order]
+    bounds = np.searchsorted(sorted_shards, np.arange(k + 1))
+    return [sorted_pts[bounds[i] : bounds[i + 1]] for i in range(k)]
+
+
+def cover_to_csr(cover: Cover) -> tuple[np.ndarray, np.ndarray]:
+    """CSR form (indptr [n+1] int64, indices int32) of a point->shards
+    cover — the vectorization substrate for cover-aware recall/oracle paths
+    (per-element Python loops over covers crawl at 100k-query scale on the
+    single-core host)."""
+    deg = np.asarray([len(c) for c in cover], np.int64)
+    indptr = np.zeros(len(cover) + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    indices = (np.concatenate([np.asarray(c, np.int32) for c in cover])
+               if len(cover) and deg.sum() else np.empty(0, np.int32))
+    return indptr, indices
+
+
+def csr_gather(indptr: np.ndarray, indices: np.ndarray,
+               row_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged gather: concatenated CSR rows of ``row_ids``.
+
+    Returns (owners, values): ``values`` is the concatenation of the rows'
+    entries, ``owners[i]`` the position in ``row_ids`` that produced
+    ``values[i]``. Pure vector ops (repeat/cumsum), no Python loop."""
+    row_ids = np.asarray(row_ids, np.int64)
+    deg = indptr[row_ids + 1] - indptr[row_ids]
+    total = int(deg.sum())
+    owners = np.repeat(np.arange(len(row_ids)), deg)
+    base = np.repeat(indptr[row_ids], deg)
+    local = np.arange(total) - np.repeat(np.cumsum(deg) - deg, deg)
+    return owners, indices[base + local]
 
 
 def remap_partition_ids(partition: Partition) -> Partition:

@@ -104,14 +104,87 @@ def attribute_recall_and_query_time(
         np.add.at(per_q, qv, counts[bv, qv])
         total_hits = int(np.minimum(per_q, k).sum())
     else:
-        total_hits = 0
-        for q in range(num_queries):
-            seen: set = set()
-            for b in route.probe_list(q, nprobes):
-                seen.update(search.hits[b][q].tolist())
-            total_hits += min(len(seen), k)
+        # overlap: unique-(query, id) counting via one sorted first-probe
+        # dedup (no per-query Python sets — those dominate the combine step
+        # at 100k queries x overlapping configs)
+        recalls, _ = attribute_recall_curves(
+            route, search, num_queries, num_shards, k, max_probes=nprobes,
+            need_work=False,
+        )
+        total_hits = int(round(recalls[nprobes - 1] * k * num_queries))
     recall = total_hits / (k * num_queries)
     return recall, local_work
+
+
+def attribute_recall_curves(
+    route: RoutingConfig,
+    search: ShardSearch,
+    num_queries: int,
+    num_shards: int,
+    k: int,
+    max_probes: Optional[int] = None,
+    need_work: bool = True,
+) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """Recall and per-shard work for EVERY nprobes prefix in one pass.
+
+    Returns ``(recalls [p], cum_work [p, num_shards] or None)`` where row
+    ``j`` corresponds to ``nprobes = j+1``. Unique-hit semantics are exact
+    for overlapping clusterings: each (query, id) pair contributes at the
+    FIRST probe slot whose shard holds it (one lexsort over all gathered
+    hits), then the per-slot new-hit counts cumsum into the curve — the
+    vectorized equivalent of route_search_combination.cpp:9-63's per-query
+    set union, s times cheaper than evaluating each prefix separately.
+    """
+    from gpann_tpu.core.partition import csr_gather
+
+    p = max_probes or min(route.buckets_to_probe.shape[1], num_shards)
+    probes = route.buckets_to_probe[:, :p]
+    nq = num_queries
+    qidx = np.repeat(np.arange(nq), probes.shape[1])
+    slot = np.tile(np.arange(probes.shape[1]), nq)
+    flat_b = probes.reshape(-1)
+    valid = flat_b >= 0
+    qv, bv, sv = qidx[valid], flat_b[valid], slot[valid]
+
+    indptr, hit_ids = _hits_csr(search, num_queries)
+    rows = bv.astype(np.int64) * nq + qv
+    owners, ids = csr_gather(indptr, hit_ids, rows)
+    qq, ss = qv[owners], sv[owners]
+    # first probe slot per (query, id): lexsort by (q, id) then slot
+    order = np.lexsort((ss, ids, qq))
+    qs, is_, ss_ = qq[order], ids[order], ss[order]
+    first = np.ones(len(order), bool)
+    first[1:] = (qs[1:] != qs[:-1]) | (is_[1:] != is_[:-1])
+    new_counts = np.zeros((nq, p), np.int64)
+    np.add.at(new_counts, (qs[first], ss_[first]), 1)
+    cum = np.minimum(np.cumsum(new_counts, axis=1), k)
+    recalls = cum.sum(axis=0) / (k * nq)
+
+    cum_work = None
+    if need_work:
+        work = np.zeros((p, num_shards), np.float64)
+        np.add.at(work, (sv, bv), search.time_query_in_shard[bv, qv])
+        cum_work = np.cumsum(work, axis=0)
+    return recalls, cum_work
+
+
+def _hits_csr(search: ShardSearch, num_queries: int):
+    """Cached CSR over row id b*nq+q -> hit ids (one flat array)."""
+    if not hasattr(search, "_hits_csr"):
+        s = len(search.hits)
+        deg = np.fromiter(
+            (len(search.hits[b][q]) for b in range(s)
+             for q in range(num_queries)),
+            np.int64, s * num_queries,
+        )
+        indptr = np.zeros(s * num_queries + 1, np.int64)
+        np.cumsum(deg, out=indptr[1:])
+        flat = (np.concatenate(
+            [np.asarray(search.hits[b][q], np.int64) for b in range(s)
+             for q in range(num_queries)]
+        ) if deg.sum() else np.empty(0, np.int64))
+        search._hits_csr = (indptr, flat)
+    return search._hits_csr
 
 
 def _hit_counts(search: ShardSearch) -> np.ndarray:
@@ -194,10 +267,15 @@ def combine_routes_and_searches(
     rows = []
     for route in routes:
         for search in searches:
+            # one curve pass per (route, search): recall + cumulative work
+            # for every nprobes prefix (s x cheaper than per-prefix calls)
+            recalls, cum_work = attribute_recall_curves(
+                route, search, num_queries, num_shards, k
+            )
+            p = len(recalls)
             for nprobes in range(1, num_shards + 1):
-                recall, local_work = attribute_recall_and_query_time(
-                    route, search, num_queries, num_shards, nprobes, k
-                )
+                j = min(nprobes, p) - 1
+                recall, local_work = float(recalls[j]), cum_work[j]
                 for rec in replica_cost_model(
                     local_work, route.routing_time, num_queries, requested_shards
                 ):

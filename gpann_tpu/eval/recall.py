@@ -214,12 +214,13 @@ def gt_shard_counts(
             np.add.at(counts, (np.arange(nq), shard_of[:, j]), 1)
         return counts
     assert cover is not None
+    from gpann_tpu.core.partition import cover_to_csr, csr_gather
+
     s = num_shards or int(max((c.max() for c in cover if len(c)), default=-1)) + 1
     counts = np.zeros((nq, s), dtype=np.int32)
-    for q in range(nq):
-        for neigh in gt_ids[q]:
-            for shard in cover[neigh]:
-                counts[q, shard] += 1
+    indptr, indices = cover_to_csr(cover)
+    owners, shards = csr_gather(indptr, indices, gt_ids.reshape(-1))
+    np.add.at(counts, (owners // k, shards), 1)
     return counts
 
 
@@ -245,12 +246,13 @@ def oracle_recall(
     # vectorized over queries: membership tensor M[q, b, j] = "GT neighbor j
     # of query q lives in shard b", then s rounds of masked argmax — keeps
     # 100k-query sets tractable on the single-core host
+    from gpann_tpu.core.partition import cover_to_csr, csr_gather
+
     s = num_shards or int(max((c.max() for c in cover if len(c)), default=-1)) + 1
     M = np.zeros((nq, s, k), dtype=bool)
-    qk_q, qk_j = np.divmod(np.arange(nq * k), k)
-    for idx, neigh in zip(range(nq * k), gt_ids.reshape(-1)):
-        for shard in cover[neigh]:
-            M[qk_q[idx], shard, qk_j[idx]] = True
+    indptr, indices = cover_to_csr(cover)
+    owners, shards = csr_gather(indptr, indices, gt_ids.reshape(-1))
+    M[owners // k, shards, owners % k] = True
     covered = np.zeros((nq, k), dtype=bool)
     total = np.zeros(s, dtype=np.int64)
     rows = np.arange(nq)

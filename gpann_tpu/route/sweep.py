@@ -68,8 +68,13 @@ def iterate_routing_configs(
         index_bytes = rp.nbytes + labels.nbytes
         flat = router.flat
 
-        # tree-routing analog: min-dist over all extracted centroids
-        t, probes = time_fn(router.query, queries, reps=timing_reps)
+        # tree-routing analog: budget-capped subtree descent (the reference
+        # Query's search_budget walk, kmeans_tree_router.cpp:93-130); the
+        # true mean distance-comp count is recorded (the reference records
+        # the nominal search_budget, routes.cpp:210)
+        _, _, calcs = router.budgeted_votes(queries, opts.search_budget)
+        t, probes = time_fn(router.query_budgeted, queries,
+                            opts.search_budget, reps=timing_reps)
         out.append(
             RoutingConfig(
                 index_trainer="KMeansTree",
@@ -77,20 +82,18 @@ def iterate_routing_configs(
                 hnsw_num_voting_neighbors=0,
                 routing_time=t,
                 index_size_bytes=index_bytes,
-                routing_index_options={"budget": int(budget)},
-                # the flat scan computes exactly one distance per routing
-                # point per query (reference counts hnswlib's
-                # metric_distance_computations, routes.cpp:61-62)
-                routing_distance_calcs=len(flat),
+                routing_index_options={"budget": int(budget),
+                                       "search_budget": opts.search_budget},
+                routing_distance_calcs=int(round(calcs)),
                 buckets_to_probe=np.asarray(probes, np.int32),
             )
         )
-        # frequency voting sweep (routes.cpp:218-243)
+        # frequency voting sweep (routes.cpp:218-243), same budgeted walk
         for v in voting_neighbors:
             if v > len(flat):
                 continue
-            t, probes = time_fn(router.frequency_query, queries, v,
-                                reps=timing_reps)
+            t, probes = time_fn(router.frequency_query_budgeted, queries, v,
+                                opts.search_budget, reps=timing_reps)
             out.append(
                 RoutingConfig(
                     index_trainer="KMeansTree",
@@ -98,8 +101,9 @@ def iterate_routing_configs(
                     hnsw_num_voting_neighbors=v,
                     routing_time=t,
                     index_size_bytes=index_bytes,
-                    routing_index_options={"budget": int(budget)},
-                    routing_distance_calcs=len(flat),
+                    routing_index_options={"budget": int(budget),
+                                           "search_budget": opts.search_budget},
+                    routing_distance_calcs=int(round(calcs)),
                     buckets_to_probe=np.asarray(probes, np.int32),
                 )
             )

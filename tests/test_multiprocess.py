@@ -47,8 +47,17 @@ WORKER = textwrap.dedent(
     index = DistributedIVF(pts, clusters, mesh=mesh)
     probes = np.tile(np.arange(8, dtype=np.int32), (32, 1))[:, :3]
     d, i = index.search_probed(q, probes, 10)
+
+    # fused serving engine across the SAME 2-process mesh: on-device
+    # routing + microbatch scan + all_gather merge
+    from gpann_tpu.dist import DistributedServingEngine
+
+    rsub = np.sort(rng.choice(2048, 256, replace=False))
+    dse = DistributedServingEngine(pts, clusters, pts[rsub], assign[rsub],
+                                   mesh=mesh)
+    fd, fi = dse.serve(q, 10, nprobes=3, voting_t=20, microbatch=16)
     if rank == 0:
-        np.savez(out, d=d, i=i)
+        np.savez(out, d=d, i=i, fd=fd, fi=fi)
     print("RANK", rank, "OK", flush=True)
     """
 )
@@ -99,6 +108,17 @@ def test_two_process_distributed_matches_single(tmp_path):
     z = np.load(out)
     np.testing.assert_allclose(z["d"], sd, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.sort(z["i"], 1), np.sort(si, 1))
+
+    # fused-serve parity: the 2-process DistributedServingEngine must match
+    # the single-process ServingEngine on identical router/probe params
+    from gpann_tpu.search.serve import ServingEngine
+
+    rsub = np.sort(rng.choice(2048, 256, replace=False))
+    single = ServingEngine(pts, clusters, pts[rsub], assign[rsub],
+                           pad_multiple=128)
+    ed, ei = single.serve(q, 10, nprobes=3, voting_t=20, query_block=32)
+    np.testing.assert_allclose(z["fd"], ed, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.sort(z["fi"], 1), np.sort(ei, 1))
 
 
 def _free_port() -> int:

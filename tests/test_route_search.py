@@ -143,6 +143,38 @@ class TestRouters:
         oracle = oracle_recall(gt_ids, partition=assign)[0]
         assert r > 0.6 * oracle, (r, oracle)
 
+    def test_budgeted_query_limits(self, setup):
+        """Capped-descent walk (kmeans_tree_router.cpp:93-130 analog):
+        budget >= index size == full scan; tiny budgets stay valid, account
+        their distance comps, and route no better than the full scan."""
+        pts, q, gt_ids, gt_dists, assign, clusters = setup
+        opts = KMeansTreeRouterOptions(num_centroids=8, min_cluster_size=50,
+                                       budget=400)
+        router = KMeansTreeRouter().train(pts, clusters, opts)
+        r = len(router.points)
+        g = len(router.top_index)
+        assert router.group_of.shape == (r,)
+        # groups partition the centroids; each top centroid leads its group
+        assert (router.group_of[router.top_index] == np.arange(g)).all()
+
+        full = router.query(q, search_budget=r)
+        unbounded = router.query_budgeted(q, search_budget=10 * r)
+        np.testing.assert_array_equal(full, unbounded)
+
+        from gpann_tpu.eval import max_first_shard_routing_recall
+
+        _, _, calcs_small = router.budgeted_votes(q, g + 8)
+        assert g <= calcs_small <= g + 8 + router.group_of.size / g * 4
+        probes_small = router.query_budgeted(q, search_budget=g + 8)
+        assert probes_small.shape == (len(q), 8)
+        rec_small = max_first_shard_routing_recall(
+            gt_ids, list(probes_small), assign)
+        rec_full = max_first_shard_routing_recall(gt_ids, list(full), assign)
+        assert rec_small <= rec_full + 0.05, (rec_small, rec_full)
+        # frequency variant runs and shapes check out
+        pf = router.frequency_query_budgeted(q, 40, search_budget=g + 32)
+        assert pf.shape == (len(q), 8)
+
     def test_frequency_query_works(self, setup):
         pts, q, gt_ids, gt_dists, assign, clusters = setup
         opts = KMeansTreeRouterOptions(num_centroids=8, min_cluster_size=50,

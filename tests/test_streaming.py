@@ -41,6 +41,57 @@ def test_streaming_capacity_partition_balance(tmp_path, rng):
     assert sizes.max() <= max_part_size(4000, 8, 0.05)
 
 
+def test_subsample_gp_partition_balance_and_quality(tmp_path, rng):
+    """Subsample-GP on 'hard' data: balance cap holds and the partition
+    beats random on downstream oracle recall (the paper's quality metric)."""
+    from gpann_tpu.eval import compute_ground_truth, oracle_recall
+    from gpann_tpu.eval.synth import generate, generate_queries
+    from gpann_tpu.gp.scale import subsample_gp_partition
+
+    n, d, k = 30_000, 16, 6
+    pts = generate("hard", n, d, seed=21)
+    part, (aggs, lbl, sidx, sub_part) = subsample_gp_partition(
+        pts, k=k, eps=0.05, seed=21, num_subsample=8_000, num_aggregate=256,
+        chunk_rows=8192, return_artifacts=True,
+    )
+    assert (part >= 0).all()
+    sizes = np.bincount(part, minlength=k)
+    assert sizes.sum() == n
+    assert sizes.max() <= max_part_size(n, k, 0.05)
+    assert len(aggs) == len(lbl) and lbl.max() < k
+    # subsample members should mostly land in their GP part (capacity can
+    # move boundary points)
+    agree = (part[sidx] == sub_part).mean()
+    assert agree > 0.8, agree
+
+    q = generate_queries("hard", 64, d, seed=21)
+    gt_i, _ = compute_ground_truth(pts, q, 10)
+    curve = oracle_recall(gt_i, partition=part)
+    from gpann_tpu.gp.partitioning import random_partition
+
+    rand_curve = oracle_recall(gt_i, partition=random_partition(n, k))
+    assert curve[0] > rand_curve[0] + 0.2, (curve[0], rand_curve[0])
+
+
+def test_capacity_stream_assign_labeled_reps(rng):
+    """Representatives labeled by part: every point lands in an open part,
+    nearest-rep semantics hold when capacity is slack."""
+    from gpann_tpu.cluster.streaming import capacity_stream_assign
+
+    n, d, k = 2000, 8, 4
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 10
+    lbl = np.repeat(np.arange(k), 3)
+    reps = (centers[lbl] + 0.01 * rng.standard_normal((len(lbl), d))
+            ).astype(np.float32)
+    pts = (centers[rng.integers(0, k, n)]
+           + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    part = capacity_stream_assign(pts, reps, lbl, k, eps=0.5, chunk_rows=512)
+    assert (part >= 0).all()
+    # slack capacity -> pure nearest-center assignment
+    dm = ((pts[:, None] - centers[None]) ** 2).sum(-1)
+    assert (part == dm.argmin(1)).mean() > 0.99
+
+
 def test_streaming_topk_matches_chunked(tmp_path, rng):
     mm, pts = make_memmap(tmp_path, rng, n=3000, d=12)
     q = rng.standard_normal((40, 12)).astype(np.float32)
