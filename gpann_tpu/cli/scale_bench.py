@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--nq", type=int, default=1024)
     ap.add_argument("--kind", default="hard", choices=("hard", "blobs"))
+    ap.add_argument("--dtype", default="f32", choices=("f32", "u8", "i8"),
+                    help="base storage dtype; byte bases are widened to f32 "
+                         "chunk-by-chunk on the fly (points_io.cpp:114-124 "
+                         "semantics) — 250Mx96 u8 = 24 GB on disk")
     ap.add_argument("--seed", type=int, default=555)
     ap.add_argument("--eps", type=float, default=0.05)
     ap.add_argument("--train-sample", type=int, default=4_000_000)
@@ -58,6 +62,10 @@ def main(argv=None) -> int:
                          " partitioner)")
     ap.add_argument("--gp-subsample", type=int, default=2_000_000)
     ap.add_argument("--gp-aggregates", type=int, default=4096)
+    ap.add_argument("--scan-mode", default="binned",
+                    choices=("binned", "exact"),
+                    help="shard scan kernel: binned = Pallas bin-top-2 "
+                         "(TPU only); exact = XLA top-k (works on CPU)")
     ap.add_argument("--out", default="exp_outputs/scale64m.csv")
     ap.add_argument("--shard-chunk", type=int, default=0,
                     help="process the curve pass in child processes of this "
@@ -78,7 +86,9 @@ def main(argv=None) -> int:
 
     cache = os.path.expanduser("~/.cache/gpann_tpu")
     # data + GT caches are method-independent; partition/router are not
-    tag = f"scale_{args.kind}_{args.seed}_{args.n}_{args.d}_{args.shards}"
+    dsuf = "" if args.dtype == "f32" else f"_{args.dtype}"
+    tag = (f"scale_{args.kind}_{args.seed}_{args.n}_{args.d}_"
+           f"{args.shards}{dsuf}")
     mtag = tag if args.method == "bkm" else f"{tag}_{args.method}"
     t_all = time.time()
 
@@ -97,8 +107,10 @@ def main(argv=None) -> int:
             return float("nan")
 
     t0 = time.time()
-    pts, pts_path = dataset_cached(args.kind, args.n, args.d, args.seed)
-    queries = generate_queries(args.kind, args.nq, args.d, args.seed)
+    pts, pts_path = dataset_cached(args.kind, args.n, args.d, args.seed,
+                                   dtype=args.dtype)
+    queries = generate_queries(args.kind, args.nq, args.d, args.seed,
+                               dtype=args.dtype)
     t_data = time.time() - t0
     log(f"base ready: {pts.shape} at {pts_path} ({t_data:.0f}s)")
 
@@ -170,7 +182,8 @@ def main(argv=None) -> int:
     log(f"router ready ({len(rp)} routing points) ({t_router:.0f}s)")
 
     clusters = partition_to_clusters(part, args.shards)
-    engine = StreamedShardEngine(pts, clusters, rp, rl)
+    engine = StreamedShardEngine(pts, clusters, rp, rl,
+                                 scan_mode=args.scan_mode)
 
     if args.curve_partial:
         # child mode: scan shards [lo, hi) into partial candidate tables
@@ -200,10 +213,12 @@ def main(argv=None) -> int:
                    "--n", str(args.n), "--d", str(args.d),
                    "--shards", str(args.shards), "--nq", str(args.nq),
                    "--kind", args.kind, "--seed", str(args.seed),
+                   "--dtype", args.dtype,
                    "--eps", str(args.eps), "--method", args.method,
                    "--gp-subsample", str(args.gp_subsample),
                    "--gp-aggregates", str(args.gp_aggregates),
                    "--train-sample", str(args.train_sample),
+                   "--scan-mode", args.scan_mode,
                    "--curve-partial", f"{lo}:{hi}:{pout}"]
             subprocess.run(cmd, check=True)
             p = np.load(pout)
@@ -233,16 +248,16 @@ def main(argv=None) -> int:
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
-        f.write("n,d,shards,kind,method,nprobes,recall,balance,"
+        f.write("n,d,shards,kind,dtype,method,nprobes,recall,balance,"
                 "curve_pass_s,gb_streamed,partition_s,gt_s,router_s\n")
         for p, r in enumerate(curve):
             f.write(f"{args.n},{args.d},{args.shards},{args.kind},"
-                    f"{args.method},{p+1},"
+                    f"{args.dtype},{args.method},{p+1},"
                     f"{r:.6f},{balance:.4f},{t_curve:.1f},{gb:.2f},"
                     f"{t_part:.1f},{t_gt:.1f},{t_router:.1f}\n")
     summary = {
         "n": args.n, "shards": args.shards, "kind": args.kind,
-        "method": args.method,
+        "dtype": args.dtype, "method": args.method,
         "balance": round(balance, 4),
         "nprobes_at_95": nprobes,
         "recall_at_nprobes": round(float(curve[nprobes - 1]), 4),

@@ -77,44 +77,77 @@ def make_params(kind: str, d: int, seed: int,
     raise ValueError(f"unknown dataset kind {kind!r}")
 
 
+# Byte quantization for SIFT/SPACEV-style bases (the reference stores those
+# as .u8bin/.i8bin and widens bytes to f32 at read time, points_io.cpp:
+# 114-124). One fixed affine map for the whole dataset: the 'hard' mixture's
+# support is ~[-10, 10], so scale 12 uses most of the byte range.
+U8_SCALE = 12.0
+
+
+def _quantize_chunk(pts: np.ndarray, dtype: str) -> np.ndarray:
+    if dtype == "u8":
+        return np.clip(np.round(pts * U8_SCALE + 128.0), 0, 255).astype(
+            np.uint8
+        )
+    if dtype == "i8":
+        return np.clip(np.round(pts * U8_SCALE), -128, 127).astype(np.int8)
+    return pts
+
+
 def generate(
     kind: str, n: int, d: int, seed: int = 555,
     chunk_rows: int = 1 << 20,
     out_path: Optional[str] = None,
+    dtype: str = "f32",
 ) -> np.ndarray:
-    """Generate ``[n, d]`` float32 points; memmap-backed when ``out_path``
-    is given (written chunk-by-chunk, O(chunk) RAM)."""
+    """Generate ``[n, d]`` points; memmap-backed when ``out_path`` is given
+    (written chunk-by-chunk, O(chunk) RAM). ``dtype``: "f32" | "u8" | "i8" —
+    byte dtypes store the quantized values and rely on consumers widening
+    chunks to f32 on the fly (all streaming paths do, via
+    ``np.asarray(chunk, np.float32)`` — same semantics as the reference's
+    byte-widening loader, points_io.cpp:114-124)."""
     params = make_params(kind, d, seed)
+    np_dtype = {"f32": np.float32, "u8": np.uint8, "i8": np.int8}[dtype]
     if out_path is None:
-        out = np.empty((n, d), np.float32)
+        out = np.empty((n, d), np_dtype)
     else:
         out = np.lib.format.open_memmap(
-            out_path, mode="w+", dtype=np.float32, shape=(n, d)
+            out_path, mode="w+", dtype=np_dtype, shape=(n, d)
         )
     for ci, s in enumerate(range(0, n, chunk_rows)):
         m = min(chunk_rows, n - s)
-        out[s : s + m] = _gen_chunk(kind, m, d, seed, ci, params)
+        out[s : s + m] = _quantize_chunk(
+            _gen_chunk(kind, m, d, seed, ci, params), dtype
+        )
     if out_path is not None:
         out.flush()
         return np.load(out_path, mmap_mode="r")
     return out
 
 
-def generate_queries(kind: str, nq: int, d: int, seed: int = 555) -> np.ndarray:
+def generate_queries(kind: str, nq: int, d: int, seed: int = 555,
+                     dtype: str = "f32") -> np.ndarray:
     """Queries from the same distribution (chunk id -1 keeps them disjoint
-    from every base chunk's stream)."""
+    from every base chunk's stream). For byte dtypes the queries are
+    quantized then widened to f32 — the domain the widened base lives in
+    (big-ann byte datasets ship byte queries too)."""
     params = make_params(kind, d, seed)
-    return _gen_chunk(kind, nq, d, seed, 0x7E57, params)
+    q = _gen_chunk(kind, nq, d, seed, 0x7E57, params)
+    if dtype != "f32":
+        q = _quantize_chunk(q, dtype).astype(np.float32)
+    return q
 
 
 def dataset_cached(
     kind: str, n: int, d: int, seed: int = 555,
     cache_dir: Optional[str] = None,
+    dtype: str = "f32",
 ) -> Tuple[np.ndarray, str]:
     """Memmap-backed dataset cached on disk; returns (memmap, path)."""
     cache_dir = cache_dir or os.path.expanduser("~/.cache/gpann_tpu")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"synth_{kind}_{seed}_{n}x{d}.npy")
+    suffix = "" if dtype == "f32" else f"_{dtype}"
+    path = os.path.join(cache_dir, f"synth_{kind}_{seed}_{n}x{d}{suffix}.npy")
     if not os.path.exists(path):
-        generate(kind, n, d, seed=seed, out_path=path)
+        generate(kind, n, d, seed=seed, out_path=path, dtype=dtype)
     return np.load(path, mmap_mode="r"), path

@@ -92,6 +92,44 @@ def test_capacity_stream_assign_labeled_reps(rng):
     assert (part == dm.argmin(1)).mean() > 0.99
 
 
+def test_u8_base_end_to_end(tmp_path):
+    """Byte-quantized base (points_io.cpp:114-124 widening semantics):
+    memmap stays u8 on disk; every streaming stage widens chunks on the fly
+    and the full pipeline (partition -> router-free probe -> streamed
+    search) matches GT computed on the widened values."""
+    from gpann_tpu.cluster.streaming import streaming_capacity_partition
+    from gpann_tpu.core.distances import streaming_topk_neighbors
+    from gpann_tpu.core.partition import partition_to_clusters
+    from gpann_tpu.eval import kth_neighbor_distance
+    from gpann_tpu.eval.synth import generate, generate_queries
+    from gpann_tpu.search.streamed import StreamedShardEngine
+
+    n, d, k, s = 20_000, 16, 10, 4
+    path = str(tmp_path / "base_u8.npy")
+    base = generate("hard", n, d, seed=13, dtype="u8", out_path=path,
+                    chunk_rows=4096)
+    assert base.dtype == np.uint8
+    q = generate_queries("hard", 32, d, seed=13, dtype="u8")
+    assert q.dtype == np.float32 and q.max() <= 255.0
+
+    part = streaming_capacity_partition(base, k=s, eps=0.05, rounds=4,
+                                        chunk_rows=4096, seed=13)
+    sizes = np.bincount(part, minlength=s)
+    assert sizes.max() <= max_part_size(n, s, 0.05)
+
+    gt_d, gt_i = streaming_topk_neighbors(q, base, k, base_chunk=8192)
+    kth = kth_neighbor_distance(gt_d.astype(np.float32), k)
+
+    clusters = partition_to_clusters(part, s)
+    rng2 = np.random.default_rng(13)
+    rsub = np.sort(rng2.choice(n, 1000, replace=False))
+    rp = np.asarray(base[rsub], np.float32)
+    engine = StreamedShardEngine(base, clusters, rp, part[rsub],
+                                 scan_mode="exact")
+    curve, _ = engine.recall_curve(q, k, kth)
+    assert curve[-1] >= 0.999  # all shards probed == exact on widened base
+
+
 def test_streaming_topk_matches_chunked(tmp_path, rng):
     mm, pts = make_memmap(tmp_path, rng, n=3000, d=12)
     q = rng.standard_normal((40, 12)).astype(np.float32)
