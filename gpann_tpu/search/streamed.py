@@ -107,6 +107,101 @@ class StreamedShardEngine:
             )
         )
         self._route_fns: dict = {}
+        # optional two-level structure (build_subclusters): per shard, member
+        # ids grouped by sub-cluster + sub-centroids, for in-shard pruning
+        self.sub_members: Optional[List[List[np.ndarray]]] = None
+        self.sub_centroids: Optional[List[np.ndarray]] = None
+
+    # -- in-shard sub-clusters (streamed-serving pruning) ----------------------
+    def build_subclusters(
+        self, target_sub_size: int = 65536, train_sample: int = 262144,
+        seed: int = 555, verbose: bool = False,
+    ) -> dict:
+        """One streamed pass building an in-shard IVF level: each shard's
+        rows k-means'd into ~``target_sub_size``-point sub-clusters.
+
+        ``search(..., sub_nprobe=t)`` then gathers/uploads ONLY the union of
+        each query's ``t`` closest sub-clusters of every probed shard — the
+        TwoLevelIVF knob (search/two_level.py) applied to the beyond-HBM
+        path, cutting streamed bytes whenever the per-shard query set's
+        locality overlaps. Returns a dict artifact (cacheable via npz);
+        :meth:`load_subclusters` restores it without the pass."""
+        from gpann_tpu.cluster.kmeans import kmeans
+        from gpann_tpu.core.distances import assign_closest
+
+        rng = np.random.default_rng(seed)
+        self.sub_members, self.sub_centroids = [], []
+        for b, members in enumerate(self.clusters):
+            if len(members) == 0:
+                self.sub_members.append([])
+                self.sub_centroids.append(
+                    np.zeros((0, self.points.shape[1]), np.float32))
+                continue
+            rows = np.asarray(self.points[members], np.float32)
+            n_sub = max(1, -(-len(rows) // target_sub_size))
+            if n_sub == 1:
+                self.sub_members.append([np.asarray(members, np.int64)])
+                self.sub_centroids.append(
+                    rows.mean(axis=0, keepdims=True).astype(np.float32))
+                continue
+            sample = rows[np.sort(rng.choice(
+                len(rows), min(train_sample, len(rows)), replace=False))]
+            cents, _ = kmeans(sample, k=n_sub, metric=self.metric, seed=seed)
+            assign = np.empty(len(rows), np.int32)
+            for s0 in range(0, len(rows), 262144):
+                chunk = rows[s0 : s0 + 262144]
+                m_pad = _pow2_at_least(len(chunk))
+                if m_pad != len(chunk):
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], m_pad - len(chunk), 0)])
+                _, a = assign_closest(jnp.asarray(chunk), jnp.asarray(cents),
+                                      self.metric)
+                assign[s0 : s0 + 262144] = np.asarray(a)[: len(rows) - s0]
+            subs, live_cents = [], []
+            for c in range(n_sub):
+                sel = np.nonzero(assign == c)[0]
+                if len(sel) == 0:
+                    continue
+                subs.append(np.asarray(members, np.int64)[sel])
+                live_cents.append(rows[sel].mean(axis=0))
+            self.sub_members.append(subs)
+            self.sub_centroids.append(
+                np.stack(live_cents).astype(np.float32))
+            if verbose:
+                print(f"# shard {b}: {len(subs)} sub-clusters", flush=True)
+        return self.subcluster_artifact()
+
+    def subcluster_artifact(self) -> dict:
+        """Flat (npz-compatible) form of the sub-cluster structure."""
+        flat, indptr, shard_ptr, cents, cent_ptr = [], [0], [0], [], [0]
+        for subs, sc in zip(self.sub_members, self.sub_centroids):
+            for s in subs:
+                flat.append(s)
+                indptr.append(indptr[-1] + len(s))
+            shard_ptr.append(shard_ptr[-1] + len(subs))
+            cents.append(sc)
+            cent_ptr.append(cent_ptr[-1] + len(sc))
+        return {
+            "flat": (np.concatenate(flat) if flat else np.empty(0, np.int64)),
+            "indptr": np.asarray(indptr, np.int64),
+            "shard_ptr": np.asarray(shard_ptr, np.int64),
+            "cents": (np.concatenate(cents) if cents
+                      else np.empty((0, self.points.shape[1]), np.float32)),
+        }
+
+    def load_subclusters(self, art: dict) -> None:
+        flat = np.asarray(art["flat"])
+        indptr = np.asarray(art["indptr"])
+        shard_ptr = np.asarray(art["shard_ptr"])
+        cents = np.asarray(art["cents"])
+        self.sub_members, self.sub_centroids = [], []
+        cent_off = 0
+        for b in range(self.num_shards):
+            lo, hi = shard_ptr[b], shard_ptr[b + 1]
+            subs = [flat[indptr[j] : indptr[j + 1]] for j in range(lo, hi)]
+            self.sub_members.append(subs)
+            self.sub_centroids.append(cents[cent_off : cent_off + len(subs)])
+            cent_off += len(subs)
 
     # -- routing (device; tiny) ------------------------------------------------
     def probe_order(
@@ -143,16 +238,22 @@ class StreamedShardEngine:
 
     # -- one shard scan --------------------------------------------------------
     def _scan_shard(
-        self, q_block: jnp.ndarray, shard_rows: np.ndarray, size: int, k: int
+        self, q_block: jnp.ndarray, shard_rows: np.ndarray, size: int, k: int,
+        cap: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k of each (padded) query row within one shard block.
+
+        ``cap`` overrides the block capacity (power-of-two-bucketed by the
+        pruned sub-cluster path so upload bytes track the pruned size, at
+        O(log) compiled shapes).
 
         The device block is explicitly ``delete()``d after the scan: the
         axon remote-TPU client keeps a host-side copy of every uploaded
         buffer alive until deletion (measured: +0.55 GB RSS per 0.55 GB
         upload, never reclaimed by GC alone — a 100M-point pass leaked
         ~100 GB of host RAM and thrashed the page cache to death)."""
-        cap = self.capacity
+        if cap is None:
+            cap = self.capacity
         blk = np.zeros((cap, shard_rows.shape[1]), np.float32)
         blk[:size] = shard_rows
         bj = jnp.asarray(blk)
@@ -201,6 +302,7 @@ class StreamedShardEngine:
         return_tables: bool = False,
         verbose: bool = False,
         shard_range: Optional[Tuple[int, int]] = None,
+        sub_nprobe: Optional[int] = None,
     ):
         """One streamed pass over all probed shards.
 
@@ -224,6 +326,7 @@ class StreamedShardEngine:
         lo, hi = shard_range if shard_range else (0, self.num_shards)
         import gc as _gc
 
+        use_subs = sub_nprobe is not None and self.sub_members is not None
         for b in range(lo, hi):
             members = self.clusters[b]
             if len(members) == 0:
@@ -232,15 +335,42 @@ class StreamedShardEngine:
             if len(qidx) == 0:
                 continue
             t0 = time.time()
-            # memmap fancy-index: reads only this shard's rows
-            rows = np.asarray(self.points[members], np.float32)
+            if use_subs and len(self.sub_members[b]) > sub_nprobe:
+                # in-shard pruning: gather/upload ONLY the union of each
+                # probing query's sub_nprobe closest sub-clusters (the
+                # TwoLevelIVF knob applied to the streamed path). Host-side
+                # sub-centroid ranking is tiny: [mq, n_sub_b].
+                cents = self.sub_centroids[b]
+                qv = queries[qidx]
+                if self.metric == "mips":
+                    dm = 1.0 - qv @ cents.T
+                else:
+                    dm = ((qv**2).sum(1)[:, None] + (cents**2).sum(1)[None]
+                          - 2.0 * (qv @ cents.T))
+                t = min(sub_nprobe, dm.shape[1])
+                top = np.argpartition(dm, t - 1, axis=1)[:, :t]
+                chosen = np.nonzero(
+                    np.bincount(top.reshape(-1),
+                                minlength=dm.shape[1]) > 0)[0]
+                members = np.concatenate(
+                    [self.sub_members[b][c] for c in chosen])
+                rows = np.asarray(self.points[members], np.float32)
+            else:
+                # memmap fancy-index: reads only this shard's rows
+                rows = np.asarray(self.points[members], np.float32)
             stats["gather_s"] += time.time() - t0
             t0 = time.time()
             mq = len(qidx)
             mq_pad = _pow2_at_least(mq)
             qb = np.zeros((mq_pad, queries.shape[1]), np.float32)
             qb[:mq] = queries[qidx]
-            d, pos = self._scan_shard(jnp.asarray(qb), rows, len(members), k)
+            tile = 16384 if self.scan_mode == "binned" else 512
+            cap_b = (min(self.capacity,
+                         _pow2_at_least(-(-len(members) // tile) * tile,
+                                        floor=tile))
+                     if use_subs else None)
+            d, pos = self._scan_shard(jnp.asarray(qb), rows, len(members), k,
+                                      cap=cap_b)
             stats["scan_s"] += time.time() - t0
             stats["shards_scanned"] += 1
             stats["bytes_uploaded"] += rows.nbytes + qb.nbytes
@@ -279,6 +409,7 @@ class StreamedShardEngine:
         rule: str = "min_dist",
         spann_eps: float = 0.6,
         verbose: bool = False,
+        sub_nprobe: Optional[int] = None,
     ) -> Tuple[np.ndarray, dict]:
         """Threshold recall@k at EVERY probe prefix 1..max_nprobes from ONE
         streamed pass (recall definition of recall.h:139-150, same tolerance
@@ -286,7 +417,7 @@ class StreamedShardEngine:
         nprobes = max_nprobes or self.num_shards
         tab_d, _, stats = self.search(
             queries, k, nprobes, voting_t, rule, spann_eps,
-            return_tables=True, verbose=verbose,
+            return_tables=True, verbose=verbose, sub_nprobe=sub_nprobe,
         )
         kth = np.asarray(kth_dist, np.float32)
         thresh = kth + 1e-5 + 1e-4 * np.abs(kth)

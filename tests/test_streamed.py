@@ -76,6 +76,35 @@ def test_memmap_input(tmp_path, setup):
     assert np.isfinite(d[:, 0]).all()
 
 
+def test_subcluster_pruning_cuts_bytes_keeps_recall(setup):
+    """build_subclusters + search(sub_nprobe=t): fewer uploaded bytes at
+    near-equal recall; artifact round-trips through the flat npz form."""
+    pts, q, clusters, rp, rl = setup
+    eng = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="exact")
+    art = eng.build_subclusters(target_sub_size=400, train_sample=2000,
+                                seed=3)
+    # round-trip the artifact into a fresh engine
+    eng2 = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="exact")
+    eng2.load_subclusters(art)
+    assert all(
+        len(a) == len(b)
+        for a, b in zip(eng.sub_members, eng2.sub_members)
+    )
+
+    # few queries: per-shard unions stay partial, so pruning shows up in
+    # bytes (with many unclustered queries the union covers every sub)
+    qs = q[:4]
+    gt_i, gt_d = compute_ground_truth(pts, qs, K)
+    kth = kth_neighbor_distance(gt_d, K)
+    full, sfull = eng.recall_curve(qs, K, kth, max_nprobes=4)
+    pruned, spruned = eng2.recall_curve(qs, K, kth, max_nprobes=4,
+                                        sub_nprobe=2)
+    assert spruned["bytes_uploaded"] < sfull["bytes_uploaded"], (
+        spruned["bytes_uploaded"], sfull["bytes_uploaded"])
+    # pruning to 2 of ~6 subclusters costs little recall at the last prefix
+    assert pruned[-1] >= full[-1] - 0.1, (pruned[-1], full[-1])
+
+
 def test_padding_rows_never_displace_neighbors():
     """Advisor regression (round 2, high): zero-padded shard rows score
     |q|^2 under L2; queries near the origin previously got all-inf results
