@@ -144,6 +144,8 @@ def main() -> int:
         log("artifact cache saved")
 
     q_dev = jnp.asarray(q)  # queries resident on device (one upload)
+    q_dev.block_until_ready()
+    log("queries uploaded")
     reps = 10
 
     # brute-force full-scan baseline FIRST, on an otherwise-empty chip: the
@@ -155,23 +157,37 @@ def main() -> int:
         from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
 
         padded, n_valid = pad_base_for_scan(pts, "l2")
+        log("base padded on host")
         pj = jnp.asarray(padded)
+        pj.block_until_ready()
+        log("base uploaded")
         bd, bi = fused_topk(q_dev, pj, n_valid, K)
-        brute_recall = recall_from_ids(pts, q, np.asarray(bi), kth, K)
+        bi = np.asarray(bi)
+        log("brute scan done")
+        brute_recall = recall_from_ids(pts, q, bi, kth, K)
+        log("brute recall computed")
         # on-chip kernel parity: Mosaic bin-top-2 vs XLA exact top-k on a
-        # query slice. Pytest covers the kernel only in interpret mode; this
-        # assert pins real-chip Mosaic regressions (VERDICT r2 weak #8).
+        # small base slice + query slice. Pytest covers the kernel only in
+        # interpret mode; this pins real-chip Mosaic regressions (VERDICT r2
+        # weak #8). Slice kept small so both compiles stay cheap — a full-
+        # base XLA scan compile (123-block lax.scan) wedged the remote
+        # compile helper for >10 min.
         from gpann_tpu.core.distances import topk_neighbors
 
-        qx = jnp.pad(q_dev[:32], ((0, 0), (0, pj.shape[1] - q_dev.shape[1])))
-        _, xi = topk_neighbors(qx, pj, K, n_valid=n_valid)
-        xi = np.asarray(xi)
-        bi32 = np.asarray(bi)[:32]
+        sub = 262144
+        pj_sub = pj[:sub]
+        bd_s, bi_s = fused_topk(q_dev[:128], pj_sub, sub, K)
+        qx = jnp.pad(q_dev[:128],
+                     ((0, 0), (0, pj.shape[1] - q_dev.shape[1])))
+        _, xi = topk_neighbors(qx, pj_sub, K)
+        xi, bi_s = np.asarray(xi), np.asarray(bi_s)
         parity = np.mean(
-            [len(np.intersect1d(bi32[r], xi[r])) for r in range(32)]
+            [len(np.intersect1d(bi_s[r], xi[r])) for r in range(128)]
         ) / K
         assert parity >= 0.95, f"pallas-vs-XLA kernel parity {parity:.4f}"
-        log(f"kernel parity (pallas vs XLA top-k, 32 queries): {parity:.4f}")
+        log(f"kernel parity (pallas vs XLA top-k, 128q x 262k base): "
+            f"{parity:.4f}")
+        del pj_sub, bd_s
         t0 = time.time()
         acc = None
         for _ in range(reps):
@@ -194,9 +210,10 @@ def main() -> int:
     brute_qps = NQ / brute_lat
     log(f"brute: {brute_qps:.0f} qps recall={brute_recall:.4f}")
 
-    # approx vote set (lax.approx_max_k): the reference's vote set is itself
-    # an approximate HNSW result (hnsw_router.h:106); measured 24 ms/batch
-    # faster routing with identical chosen-nprobes recall
+    # approx vote set (lax.approx_max_k on the HIGH fold): measured fastest
+    # routing at this router size — 36 ms/batch vs 54 ms two-phase
+    # "rescore" vs 68 ms exact top_k (R=39k, m=4096); the reference's vote
+    # set is itself an approximate HNSW result (hnsw_router.h:106)
     engine = ServingEngine(
         pts, clusters, art["routing_points"], art["routing_labels"],
         scan_mode="binned", voting_impl="approx",

@@ -46,15 +46,37 @@ def main(argv=None) -> int:
     exact = {
         deg: build_exact_knn_graph(points, deg) for deg in DEGREES
     }
-    rows = ["reps,fanout,max_cluster_size,degree,graph_recall,first_shard_oracle_recall"]
+    # resumable: completed (reps, fanout, mcs, degree) rows in an existing
+    # out_csv are kept and skipped, so the 125-config grid survives
+    # interruption (the reference reruns from scratch; a remote-TPU grid run
+    # must not)
+    header = ("reps,fanout,max_cluster_size,degree,graph_recall,"
+              "first_shard_oracle_recall")
+    rows = [header]
+    done = set()
+    try:
+        with open(out_csv) as f:
+            for line in f.read().splitlines()[1:]:
+                parts = line.split(",")
+                if len(parts) == 6:
+                    done.add(tuple(int(x) for x in parts[:4]))
+                    rows.append(line)
+    except FileNotFoundError:
+        pass
+    if done:
+        print(f"# resuming: {len(done)} configs already done", flush=True)
     for reps in REPS_GRID:
         for fanout in FANOUT_GRID:
             for mcs in CLUSTER_SIZE_GRID:
+                if all((reps, fanout, mcs, deg) in done for deg in DEGREES):
+                    continue
                 builder = ApproximateKNNGraphBuilder()
                 builder.REPETITIONS = reps
                 builder.FANOUT = fanout
                 builder.MAX_CLUSTER_SIZE = mcs
                 for deg in DEGREES:
+                    if (reps, fanout, mcs, deg) in done:
+                        continue
                     approx = builder.build(points, deg)
                     sample = slice(0, min(2000, len(points)))
                     grecall = graph_recall(approx[sample], exact[deg][sample])
@@ -64,6 +86,8 @@ def main(argv=None) -> int:
                         f"{reps},{fanout},{mcs},{deg},{grecall:.4f},{first:.4f}"
                     )
                     print(rows[-1], flush=True)
+                    with open(out_csv, "w") as f:  # checkpoint after each
+                        f.write("\n".join(rows) + "\n")
     with open(out_csv, "w") as f:
         f.write("\n".join(rows) + "\n")
     return 0

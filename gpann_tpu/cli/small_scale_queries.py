@@ -109,7 +109,10 @@ def main(argv=None) -> int:
         flat = FlatRouter(rp, labels, num_shards=num_shards, metric=metric)
 
         routers = {
-            "KMeansTree": lambda q: kmtr.query(q, search_budget=5_000),
+            # reference routes with a 5000-distance-comp tree walk
+            # (small_scale_queries.cpp:117): capped subtree descent
+            "KMeansTree": lambda q: kmtr.query_budgeted(q,
+                                                        search_budget=5_000),
             "Flat": lambda q: flat.query(q, num_voting_neighbors=60, rule="min_dist"),
         }
         for rname, route in routers.items():

@@ -46,22 +46,50 @@ def _probe_rank(queries, router_points, router_labels, router_sq, *,
     the dummy shard ``s`` (size 0, skipped by the scan).
     """
     m = queries.shape[0]
-    rdots = jnp.dot(queries, router_points.T,
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
-    if metric == "mips":
-        rdm = 1.0 - rdots
-    else:
-        rdm = sq_norms(queries)[:, None] + router_sq[None, :] - 2.0 * rdots
     t = min(voting_t, router_points.shape[0])
-    if voting_impl == "approx":
-        # TPU-native partial-reduction top-k; like the reference's HNSW
-        # walk, the vote set is itself approximate
-        neg, nidx = jax.lax.approx_max_k(-rdm, t, recall_target=0.95)
+    if voting_impl == "rescore":
+        # two-phase routing, same design as the serving scan: DEFAULT
+        # (bf16) matmul is ~3x cheaper than the HIGH 3-pass and only has to
+        # get a CANDIDATE set right; the t votes are then picked by exact
+        # f32 distances of ~2t candidates. Routing was ~30% of the serve
+        # batch at HIGH (the [m, R] matmul dominates, R ~ 40k points).
+        rdots = jnp.dot(queries, router_points.T,
+                        preferred_element_type=jnp.float32)
+        if metric == "mips":
+            rdm = 1.0 - rdots
+        else:
+            rdm = (sq_norms(queries)[:, None] + router_sq[None, :]
+                   - 2.0 * rdots)
+        c = min(2 * t + 16, router_points.shape[0])
+        _, cidx = jax.lax.approx_max_k(-rdm, c, recall_target=0.95)
+        cand = router_points[cidx]                    # [m, c, d]
+        if metric == "mips":
+            exact = 1.0 - jnp.einsum(
+                "md,mcd->mc", queries, cand,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            exact = jnp.sum((queries[:, None, :] - cand) ** 2, axis=-1)
+        neg, sel = jax.lax.top_k(-exact, t)
+        ndist = -neg
+        nshard = router_labels[jnp.take_along_axis(cidx, sel, axis=1)]
     else:
-        neg, nidx = jax.lax.top_k(-rdm, t)
-    ndist = -neg
-    nshard = router_labels[nidx]
+        rdots = jnp.dot(queries, router_points.T,
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+        if metric == "mips":
+            rdm = 1.0 - rdots
+        else:
+            rdm = (sq_norms(queries)[:, None] + router_sq[None, :]
+                   - 2.0 * rdots)
+        if voting_impl == "approx":
+            # TPU-native partial-reduction top-k; like the reference's HNSW
+            # walk, the vote set is itself approximate
+            neg, nidx = jax.lax.approx_max_k(-rdm, t, recall_target=0.95)
+        else:
+            neg, nidx = jax.lax.top_k(-rdm, t)
+        ndist = -neg
+        nshard = router_labels[nidx]
     row = jnp.arange(m)[:, None]
     min_d = jnp.full((m, s), jnp.inf).at[row, nshard].min(ndist)
     # unseen shards keep +inf min_dist; sort keys use a finite big number so

@@ -103,6 +103,26 @@ def test_recall_curve_matches_looped_serve(setup):
         np.testing.assert_allclose(curve[p - 1], want, atol=1e-6)
 
 
+def test_rescore_voting_matches_exact(setup):
+    """voting_impl='rescore' (bf16 candidate scan + exact f32 vote rescore)
+    must produce near-identical probe lists to the exact HIGH fold."""
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    rp, rl = np.asarray(router.points), router.labels_np
+    exact = ServingEngine(pts, clusters, rp, rl, voting_impl="exact")
+    resc = ServingEngine(pts, clusters, rp, rl, voting_impl="rescore")
+    for rule in ("min_dist", "frequency"):
+        pe = exact.probe_order(q, 4, voting_t=8, rule=rule)
+        pr = resc.probe_order(q, 4, voting_t=8, rule=rule)
+        agree = (pe == pr).mean()
+        assert agree > 0.95, (rule, agree)
+    kth = kth_neighbor_distance(gt_dists, 10)
+    _, fi = resc.serve(q, k=10, nprobes=3, voting_t=8, query_block=32)
+    rec = recall_from_ids(pts, q, fi, kth, 10)
+    _, fi0 = exact.serve(q, k=10, nprobes=3, voting_t=8, query_block=32)
+    rec0 = recall_from_ids(pts, q, fi0, kth, 10)
+    assert rec >= rec0 - 0.01, (rec, rec0)
+
+
 def test_serve_single_probe(setup):
     pts, q, gt_ids, gt_dists, clusters, router, engine = setup
     fd, fi = engine.serve(q, k=10, nprobes=1, voting_t=8, query_block=32)
