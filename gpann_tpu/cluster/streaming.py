@@ -140,11 +140,26 @@ def capacity_stream_assign(
     n = points.shape[0]
     reps = np.ascontiguousarray(reps, np.float32)
     rep_labels = np.asarray(rep_labels, np.int64)
+    r = len(reps)
+    # pad reps to a lane multiple (stable compile shapes across slightly
+    # different aggregate counts); padding reps are permanently closed
+    r_pad = -(-r // 128) * 128
+    if r_pad != r:
+        reps = np.concatenate(
+            [reps, np.zeros((r_pad - r, reps.shape[1]), np.float32)]
+        )
+        rep_labels = np.concatenate(
+            [rep_labels, np.zeros(r_pad - r, np.int64)]
+        )
+    valid_rep = np.arange(r_pad) < r
+    # the masked-argmin materializes an [m, r_pad] f32 tile in HBM: bound it
+    # to ~4 GB (measured: 1M x 4097 = 17.2 GB OOM'd a 16 GB v5e)
+    max_rows = max(65536, (1 << 30) // r_pad)  # ~4 GB after f32
+    chunk_rows = min(chunk_rows, 1 << (max_rows.bit_length() - 1))
     cap = int((1.0 + eps) * np.ceil(n / k))
     room = np.full(k, cap, np.int64)
     part = np.full(n, -1, np.int32)
     rj = jnp.asarray(reps)
-    labels_j = jnp.asarray(rep_labels)
 
     def admit(global_ids: np.ndarray, target: np.ndarray,
               d_best: np.ndarray) -> np.ndarray:
@@ -171,7 +186,7 @@ def capacity_stream_assign(
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], m_pad - real, axis=0)]
             )
-        open_mask = jnp.asarray(room > 0)[labels_j]
+        open_mask = jnp.asarray((room > 0)[rep_labels] & valid_rep)
         tgt, db = _masked_nearest(jnp.asarray(chunk), rj, open_mask, metric)
         return rep_labels[np.asarray(tgt)[:real]], np.asarray(db)[:real]
 
