@@ -8,10 +8,14 @@ entire point of the partitioned design. At 1M points the whole base fits one
 full-speed scan and routing cannot pay for itself.
 
 Pipeline measured (the reference's SmallScaleQueries configuration, C19):
-balanced k-means partition -> k-means-tree router (extracted points, flat
-MXU scan) -> fused serving engine with the Pallas bin-top-2 scan kernel
+**GP partition** — the reference's flagship method (subsample kNN graph +
+balanced LP partition + capacity stream-assignment, partitioning.cpp:
+251-264 + 305-356) -> k-means-tree router (extracted points, flat MXU
+scan) -> fused serving engine with the Pallas bin-top-2 scan kernel
 (route + group + scan + merge in one XLA program; exact f32 candidate
-rescore).
+rescore). Measured on this data (round 3): GP oracle@1 = 1.000 vs
+balanced-k-means 0.701 — the partition quality IS the QPS story, exactly
+the paper's claim.
 
 Runtime discipline (this script must finish unattended inside the driver
 budget; compiles on this backend cost 20-75 s EACH):
@@ -59,7 +63,6 @@ def log(msg: str) -> None:
 def main() -> int:
     import jax.numpy as jnp
 
-    from gpann_tpu.cluster import balanced_kmeans
     from gpann_tpu.core.partition import partition_to_clusters
     from gpann_tpu.eval import kth_neighbor_distance, recall_from_ids
     from gpann_tpu.route import KMeansTreeRouter, KMeansTreeRouterOptions
@@ -90,9 +93,17 @@ def main() -> int:
         np.save(q_cache, q)
         log(f"data generated + cached: {pts.shape}")
 
-    # deterministic artifacts cached per config (SEED, N, D, NQ, SHARDS)
-    cache = os.path.join(cache_dir, f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
+    # deterministic artifacts cached per config (SEED, N, D, NQ, SHARDS);
+    # the _gp suffix marks the round-3 switch to the GP partition
+    cache = os.path.join(cache_dir,
+                         f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}_gp.npz")
     art = dict(np.load(cache)) if os.path.exists(cache) else {}
+    if not art:
+        # GT is partition-independent: migrate it from the round-2 cache
+        old = os.path.join(cache_dir, f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
+        if os.path.exists(old):
+            o = dict(np.load(old))
+            art = {k: o[k] for k in ("gt_ids", "gt_dists") if k in o}
     dirty = False
 
     if "gt_ids" not in art:
@@ -113,15 +124,21 @@ def main() -> int:
         dirty = True
         log("ground truth computed")
     if "assign" not in art:
+        # the flagship GP partition at beyond-sample scale: kNN graph + LP
+        # on a 1M subsample, per-part aggregates, capacity stream-assignment
+        # (partitioning.cpp:251-264 + 305-356). Measured vs balanced
+        # k-means on this data: oracle@1 1.000 vs 0.701.
+        from gpann_tpu.gp.scale import subsample_gp_partition
+
         t0 = time.time()
-        _, assign = balanced_kmeans(
+        assign = subsample_gp_partition(
             pts, k=SHARDS, eps=0.05, seed=SEED,
-            train_sample=1_000_000, refine_rounds=5,
+            num_subsample=1_000_000, num_aggregate=4096,
         )
         art["assign"] = assign
         art["build_time"] = np.float64(time.time() - t0)
         dirty = True
-        log(f"partition computed in {float(art['build_time']):.1f}s")
+        log(f"GP partition computed in {float(art['build_time']):.1f}s")
     kth = kth_neighbor_distance(art["gt_dists"], K)
     clusters = partition_to_clusters(art["assign"], SHARDS)
 
