@@ -42,6 +42,8 @@ def _masked_nearest(chunk, centroids, open_mask, metric: Metric = "l2"):
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _chunk_stats(chunk, centroids, k: int, metric: Metric):
+    if chunk.dtype != jnp.float32:  # byte chunks widen on device
+        chunk = chunk.astype(jnp.float32)
     dm = pairwise_distances(chunk, centroids, metric)
     assign = jnp.argmin(dm, axis=1)
     sums = jax.ops.segment_sum(chunk, assign, num_segments=k)
@@ -73,7 +75,8 @@ def streaming_kmeans(
         sums = np.zeros((k, d), np.float64)
         counts = np.zeros(k, np.float64)
         for s in range(0, n, chunk_rows):
-            chunk = np.asarray(points[s : s + chunk_rows], np.float32)
+            # keep source dtype: byte bases upload raw, widen on device
+            chunk = np.asarray(points[s : s + chunk_rows])
             real = len(chunk)
             if real < chunk_rows and n > chunk_rows:
                 chunk = np.concatenate(
@@ -106,7 +109,7 @@ def streaming_kmeans(
 
     assignment = np.empty(n, np.int32)
     for s in range(0, n, chunk_rows):
-        chunk = np.asarray(points[s : s + chunk_rows], np.float32)
+        chunk = np.asarray(points[s : s + chunk_rows])
         real = len(chunk)
         if real < chunk_rows and n > chunk_rows:
             chunk = np.concatenate(
@@ -192,13 +195,14 @@ def capacity_stream_assign(
 
     leftovers = []
     for s in range(0, n, chunk_rows):
-        chunk = np.asarray(points[s : s + chunk_rows], np.float32)
+        # keep source dtype: byte bases upload raw, widen on device
+        chunk = np.asarray(points[s : s + chunk_rows])
         tgt, db = nearest_open(chunk)
         rest = admit(np.arange(s, s + len(chunk)), tgt, db)
         leftovers.append(rest)
     rest = np.concatenate(leftovers) if leftovers else np.empty(0, np.int64)
     while len(rest):
-        tgt, db = nearest_open(np.asarray(points[rest], np.float32))
+        tgt, db = nearest_open(np.asarray(points[rest]))
         rest = admit(rest, tgt, db)
     return part
 

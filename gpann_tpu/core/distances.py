@@ -65,8 +65,17 @@ def pairwise_distances(
 
     One MXU matmul plus broadcast adds; replaces the reference's scalar
     ``distance()`` dispatch (``src/dist.cpp:75-81``).
+
+    Byte inputs (u8/i8 bases) are widened to f32 ON DEVICE — the reference
+    widens at read time (``points_io.cpp:114-124``); here the host uploads
+    raw bytes (4x less tunnel traffic, and the axon client's per-upload
+    host-copy leak shrinks 4x) and the cast runs on-chip.
     """
     _check_metric(metric)
+    if queries.dtype != jnp.float32:
+        queries = queries.astype(jnp.float32)
+    if base.dtype != jnp.float32:
+        base = base.astype(jnp.float32)
     if precision is None:
         precision = default_precision()
     dots = jnp.dot(
@@ -119,8 +128,14 @@ def topk_neighbors(
     padding — masked to +inf BEFORE selection, so zero-padded blocks (whose
     padding rows would otherwise score ``|q|^2`` under L2 or ``1.0`` under
     MIPS) can never displace real neighbors from the top-k.
+
+    Byte inputs are widened to f32 on device (see pairwise_distances).
     """
     _check_metric(metric)
+    if queries.dtype != jnp.float32:
+        queries = queries.astype(jnp.float32)
+    if base.dtype != jnp.float32:
+        base = base.astype(jnp.float32)
     if precision is None:
         precision = default_precision()
     m = queries.shape[0]
@@ -213,7 +228,9 @@ def streaming_topk_neighbors(
     best_d = _np.full((m, k), _np.inf, _np.float32)
     best_i = _np.full((m, k), -1, _np.int64)
     for s in range(0, n, base_chunk):
-        blk = _np.asarray(base[s : s + base_chunk], _np.float32)
+        # keep the source dtype: byte bases upload raw and widen on device
+        # (4x less tunnel traffic + 4x smaller per-upload host-copy leak)
+        blk = _np.asarray(base[s : s + base_chunk])
         d, i = chunked_topk_neighbors(
             queries, blk, min(k, len(blk)), metric=metric,
             query_block=query_block, precision=precision,

@@ -56,6 +56,8 @@ def _masked_rescored_topk(q_block, blk, size, k: int, metric: Metric,
     from gpann_tpu.core.distances import topk_neighbors
     from gpann_tpu.search.ivf import _exact_rescore, _scan_k
 
+    if blk.dtype != jnp.float32:  # byte blocks widen on device, once
+        blk = blk.astype(jnp.float32)
     kk = _scan_k(k, blk.shape[0], True)
     dscan, pos = topk_neighbors(
         q_block, blk, kk, metric=metric, precision=precision, n_valid=size
@@ -254,7 +256,8 @@ class StreamedShardEngine:
         ~100 GB of host RAM and thrashed the page cache to death)."""
         if cap is None:
             cap = self.capacity
-        blk = np.zeros((cap, shard_rows.shape[1]), np.float32)
+        # keep the source dtype: byte bases upload raw and widen on device
+        blk = np.zeros((cap, shard_rows.shape[1]), shard_rows.dtype)
         blk[:size] = shard_rows
         bj = jnp.asarray(blk)
         use_binned = self.scan_mode == "binned"
@@ -269,6 +272,10 @@ class StreamedShardEngine:
         if use_binned:
             from gpann_tpu.search.pallas_scan import fused_topk
 
+            if bj.dtype != jnp.float32:
+                # byte blocks: uploaded raw, widened on device (tiny astype
+                # dispatch; fused_topk's Mosaic kernel wants f32)
+                bj = bj.astype(jnp.float32)
             d, pos = fused_topk(q_block, bj, size, k, self.metric)
         else:
             # n_valid masks padding rows BEFORE top-k (zero-padding scores
@@ -354,10 +361,10 @@ class StreamedShardEngine:
                                 minlength=dm.shape[1]) > 0)[0]
                 members = np.concatenate(
                     [self.sub_members[b][c] for c in chosen])
-                rows = np.asarray(self.points[members], np.float32)
+                rows = np.asarray(self.points[members])
             else:
                 # memmap fancy-index: reads only this shard's rows
-                rows = np.asarray(self.points[members], np.float32)
+                rows = np.asarray(self.points[members])
             stats["gather_s"] += time.time() - t0
             t0 = time.time()
             mq = len(qidx)
