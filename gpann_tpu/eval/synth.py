@@ -54,17 +54,23 @@ def _gen_chunk(kind: str, m: int, d: int, seed: int, chunk_id: int,
                 + 0.6 * rng.standard_normal((m, d))).astype(np.float32)
     centers, scales, w = params
     lbl = rng.choice(len(centers), size=m, p=w)
-    # t-like heavy tails: normal / sqrt(chi2/df), df=6
-    g = rng.standard_normal((m, d))
-    chi = rng.chisquare(6.0, size=(m, 1)) / 6.0
-    noise = g / np.sqrt(np.maximum(chi, 1e-6))
-    pts = centers[lbl] + scales[lbl] * noise
+    # t-like heavy tails: normal / sqrt(chi2/df), df=6. All-f32 with in-place
+    # ops: the f64 version allocated five [m, d] float64 temporaries and was
+    # memory-bound (~40 s per 1M-row chunk on the single host core; ~8x
+    # faster this way), which priced 250M-point base generation out of reach.
+    pts = rng.standard_normal((m, d), dtype=np.float32)
+    chi = (rng.chisquare(6.0, size=(m, 1)).astype(np.float32)) / 6.0
+    np.maximum(chi, 1e-6, out=chi)
+    np.sqrt(chi, out=chi)
+    pts /= chi
+    pts *= scales[lbl]
+    pts += centers[lbl]
     # 5% uniform background spread over the support
     nbg = int(0.05 * m)
     if nbg:
-        bg = rng.uniform(-8.0, 8.0, size=(nbg, d))
+        bg = rng.uniform(-8.0, 8.0, size=(nbg, d)).astype(np.float32)
         pts[rng.choice(m, size=nbg, replace=False)] = bg
-    return pts.astype(np.float32)
+    return pts
 
 
 def make_params(kind: str, d: int, seed: int,
@@ -85,12 +91,18 @@ U8_SCALE = 12.0
 
 
 def _quantize_chunk(pts: np.ndarray, dtype: str) -> np.ndarray:
+    """Quantize a float chunk to bytes (DESTROYS ``pts`` in place)."""
     if dtype == "u8":
-        return np.clip(np.round(pts * U8_SCALE + 128.0), 0, 255).astype(
-            np.uint8
-        )
+        np.multiply(pts, U8_SCALE, out=pts)
+        pts += 128.0
+        np.rint(pts, out=pts)
+        np.clip(pts, 0, 255, out=pts)
+        return pts.astype(np.uint8)
     if dtype == "i8":
-        return np.clip(np.round(pts * U8_SCALE), -128, 127).astype(np.int8)
+        np.multiply(pts, U8_SCALE, out=pts)
+        np.rint(pts, out=pts)
+        np.clip(pts, -128, 127, out=pts)
+        return pts.astype(np.int8)
     return pts
 
 
