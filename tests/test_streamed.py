@@ -163,3 +163,17 @@ def test_synth_generate_chunked_deterministic(tmp_path):
     np.testing.assert_array_equal(a, np.asarray(b))
     c = generate("blobs", 1000, 16, seed=5)
     assert c.shape == (1000, 16) and c.dtype == np.float32
+
+
+def test_synth_quantize_matches_formula():
+    """In-place byte quantizer == the functional clip/round formula."""
+    from gpann_tpu.eval.synth import U8_SCALE, _quantize_chunk
+
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((512, 8)) * 4).astype(np.float32)
+    u = _quantize_chunk(x.copy(), "u8")
+    np.testing.assert_array_equal(
+        u, np.clip(np.round(x * U8_SCALE + 128.0), 0, 255).astype(np.uint8))
+    i = _quantize_chunk(x.copy(), "i8")
+    np.testing.assert_array_equal(
+        i, np.clip(np.round(x * U8_SCALE), -128, 127).astype(np.int8))
