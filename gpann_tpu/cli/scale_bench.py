@@ -148,13 +148,21 @@ def main(argv=None) -> int:
 
     gt_path = os.path.join(cache, f"{tag}_gt.npz")
     t0 = time.time()
-    if os.path.exists(gt_path):
-        g = np.load(gt_path)
-        gt_i, gt_d = g["ids"], g["dists"]
+    g = np.load(gt_path) if os.path.exists(gt_path) else None
+    if g is not None and "queries" in g:
+        # the query set is part of the GT artifact: reuse the SAVED queries
+        # so a cached GT stays consistent even if the synthetic generator
+        # evolves between runs (learned the hard way: a generator change
+        # mid-run silently invalidated GT<->queries and flattened the
+        # recall curve at 0.54)
+        gt_i, gt_d, queries = g["ids"], g["dists"], g["queries"]
         t_gt = _cached_time(gt_path)
     else:
+        if g is not None:
+            log("GT cache lacks its query set (pre-versioning artifact): "
+                "recomputing GT for the current generator's queries")
         gt_d, gt_i = streaming_topk_neighbors(queries, pts, K)
-        np.savez(gt_path, ids=gt_i, dists=gt_d)
+        np.savez(gt_path, ids=gt_i, dists=gt_d, queries=queries)
         t_gt = time.time() - t0
         _stamp(gt_path, t_gt)
     kth = kth_neighbor_distance(gt_d, K)
