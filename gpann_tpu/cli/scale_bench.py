@@ -66,6 +66,14 @@ def main(argv=None) -> int:
                     choices=("binned", "exact"),
                     help="shard scan kernel: binned = Pallas bin-top-2 "
                          "(TPU only); exact = XLA top-k (works on CPU)")
+    ap.add_argument("--sub-nprobe", type=int, default=0,
+                    help="in-shard sub-cluster pruning: gather/upload only "
+                         "each probing query's t closest sub-clusters of "
+                         "every probed shard (0 = whole shard). Cuts "
+                         "streamed GB on the beyond-HBM path; builds (and "
+                         "caches) a one-pass sub-cluster artifact")
+    ap.add_argument("--sub-size", type=int, default=65536,
+                    help="target points per sub-cluster for --sub-nprobe")
     ap.add_argument("--out", default="exp_outputs/scale64m.csv")
     ap.add_argument("--shard-chunk", type=int, default=0,
                     help="process the curve pass in child processes of this "
@@ -193,12 +201,29 @@ def main(argv=None) -> int:
     engine = StreamedShardEngine(pts, clusters, rp, rl,
                                  scan_mode=args.scan_mode)
 
+    sub_np = args.sub_nprobe if args.sub_nprobe > 0 else None
+    if sub_np is not None:
+        sc_path = os.path.join(cache, f"{mtag}_subc{args.sub_size}.npz")
+        t0 = time.time()
+        if os.path.exists(sc_path):
+            engine.load_subclusters(dict(np.load(sc_path)))
+            t_subc = _cached_time(sc_path)
+        else:
+            art = engine.build_subclusters(target_sub_size=args.sub_size,
+                                           seed=args.seed)
+            np.savez(sc_path, **art)
+            t_subc = time.time() - t0
+            _stamp(sc_path, t_subc)
+        n_sub = sum(len(s) for s in engine.sub_members)
+        log(f"sub-clusters ready: {n_sub} across {args.shards} shards "
+            f"(target {args.sub_size} pts each) ({t_subc:.0f}s)")
+
     if args.curve_partial:
         # child mode: scan shards [lo, hi) into partial candidate tables
         lo, hi, out_npz = args.curve_partial.split(":")
         tab_d, tab_i, stats = engine.search(
             queries, K, engine.num_shards, return_tables=True,
-            shard_range=(int(lo), int(hi)),
+            shard_range=(int(lo), int(hi)), sub_nprobe=sub_np,
         )
         np.savez(out_npz, tab_d=tab_d, tab_i=tab_i,
                  bytes=np.int64(stats["bytes_uploaded"]))
@@ -227,6 +252,8 @@ def main(argv=None) -> int:
                    "--gp-aggregates", str(args.gp_aggregates),
                    "--train-sample", str(args.train_sample),
                    "--scan-mode", args.scan_mode,
+                   "--sub-nprobe", str(args.sub_nprobe),
+                   "--sub-size", str(args.sub_size),
                    "--curve-partial", f"{lo}:{hi}:{pout}"]
             subprocess.run(cmd, check=True)
             p = np.load(pout)
@@ -242,7 +269,8 @@ def main(argv=None) -> int:
         curve = cum.sum(axis=0) / (K * args.nq)
         stats = {"route_s": 0.0, "gather_s": 0.0, "scan_s": 0.0}
     else:
-        curve, stats = engine.recall_curve(queries, K, kth, verbose=False)
+        curve, stats = engine.recall_curve(queries, K, kth, verbose=False,
+                                           sub_nprobe=sub_np)
         gb = stats["bytes_uploaded"] / 1e9
     t_curve = time.time() - t0
     log(f"curve pass: {t_curve:.0f}s ({gb:.1f} GB streamed, "
@@ -257,12 +285,14 @@ def main(argv=None) -> int:
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         f.write("n,d,shards,kind,dtype,method,nprobes,recall,balance,"
-                "curve_pass_s,gb_streamed,partition_s,gt_s,router_s\n")
+                "curve_pass_s,gb_streamed,partition_s,gt_s,router_s,"
+                "sub_nprobe\n")
         for p, r in enumerate(curve):
             f.write(f"{args.n},{args.d},{args.shards},{args.kind},"
                     f"{args.dtype},{args.method},{p+1},"
                     f"{r:.6f},{balance:.4f},{t_curve:.1f},{gb:.2f},"
-                    f"{t_part:.1f},{t_gt:.1f},{t_router:.1f}\n")
+                    f"{t_part:.1f},{t_gt:.1f},{t_router:.1f},"
+                    f"{args.sub_nprobe}\n")
     summary = {
         "n": args.n, "shards": args.shards, "kind": args.kind,
         "dtype": args.dtype, "method": args.method,
@@ -270,6 +300,7 @@ def main(argv=None) -> int:
         "nprobes_at_95": nprobes,
         "recall_at_nprobes": round(float(curve[nprobes - 1]), 4),
         "curve_pass_s": round(t_curve, 1), "gb_streamed": round(gb, 1),
+        "sub_nprobe": args.sub_nprobe,
         "total_s": round(time.time() - t_all, 1),
     }
     print(json.dumps(summary), flush=True)

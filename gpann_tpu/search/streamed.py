@@ -139,15 +139,20 @@ class StreamedShardEngine:
                 self.sub_centroids.append(
                     np.zeros((0, self.points.shape[1]), np.float32))
                 continue
-            rows = np.asarray(self.points[members], np.float32)
+            # keep the source dtype: byte bases upload raw chunks and widen
+            # on device (pairwise_distances) — host-widening 250M points to
+            # f32 would 4x the tunnel traffic AND the axon per-upload
+            # host-copy leak (~96 GB vs ~24 GB at 250Mx96 u8)
+            rows = np.asarray(self.points[members])
             n_sub = max(1, -(-len(rows) // target_sub_size))
             if n_sub == 1:
                 self.sub_members.append([np.asarray(members, np.int64)])
                 self.sub_centroids.append(
                     rows.mean(axis=0, keepdims=True).astype(np.float32))
                 continue
-            sample = rows[np.sort(rng.choice(
-                len(rows), min(train_sample, len(rows)), replace=False))]
+            sample = np.asarray(rows[np.sort(rng.choice(
+                len(rows), min(train_sample, len(rows)), replace=False))],
+                np.float32)
             cents, _ = kmeans(sample, k=n_sub, metric=self.metric, seed=seed)
             assign = np.empty(len(rows), np.int32)
             for s0 in range(0, len(rows), 262144):

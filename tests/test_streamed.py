@@ -105,6 +105,33 @@ def test_subcluster_pruning_cuts_bytes_keeps_recall(setup):
     assert pruned[-1] >= full[-1] - 0.1, (pruned[-1], full[-1])
 
 
+def test_subcluster_pruning_u8_base(tmp_path):
+    """Sub-cluster build + pruned search on a raw-byte memmap base: rows
+    stay u8 end-to-end on host (uploads widen on device), centroids come
+    out f32, and the pruned pass still finds real neighbors."""
+    n, d, s = 6_000, 16, 4
+    path = str(tmp_path / "b.npy")
+    pts = generate("hard", n, d, seed=9, dtype="u8", out_path=path)
+    assert pts.dtype == np.uint8
+    q = generate_queries("hard", 16, d, seed=9, dtype="u8")
+    part = streaming_capacity_partition(pts, k=s, eps=0.05, seed=9,
+                                        chunk_rows=2048, train_sample=3000)
+    clusters = partition_to_clusters(part, s)
+    rng = np.random.default_rng(4)
+    rsub = np.sort(rng.choice(n, 800, replace=False))
+    rp, rl = np.asarray(pts[rsub], np.float32), part[rsub]
+    eng = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="exact")
+    eng.build_subclusters(target_sub_size=500, train_sample=2000, seed=4)
+    assert all(sc.dtype == np.float32 for sc in eng.sub_centroids)
+    gt_i, gt_d = compute_ground_truth(np.asarray(pts, np.float32), q, K)
+    kth = kth_neighbor_distance(gt_d, K)
+    full, sf = eng.recall_curve(q, K, kth)
+    pruned, sp = eng.recall_curve(q, K, kth, sub_nprobe=2)
+    assert sp["bytes_uploaded"] <= sf["bytes_uploaded"]
+    assert full[-1] >= 0.999          # exact at all probes
+    assert pruned[-1] >= full[-1] - 0.15
+
+
 def test_padding_rows_never_displace_neighbors():
     """Advisor regression (round 2, high): zero-padded shard rows score
     |q|^2 under L2; queries near the origin previously got all-inf results
