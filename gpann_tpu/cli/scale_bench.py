@@ -82,6 +82,18 @@ def main(argv=None) -> int:
     ap.add_argument("--curve-partial", default=None,
                     help="internal: 'lo:hi:out.npz' — scan only shards "
                          "[lo,hi), dump candidate tables, exit")
+    ap.add_argument("--until", default=None,
+                    choices=("partition", "gt", "router", "subclusters"),
+                    help="internal: exit after this stage's artifact is "
+                         "cached (stage-isolation child mode)")
+    ap.add_argument("--isolate-stages", action="store_true",
+                    help="run each build stage (partition, gt, router[, "
+                         "subclusters]) in its own child process before the "
+                         "curve pass. Each full-base streaming stage leaks "
+                         "its uploads into host RSS for the life of the "
+                         "process (axon client, docs/PERF.md): beyond ~2 "
+                         "such stages per 100 GB RAM the parent OOMs — "
+                         "measured at 250M u8; REQUIRED at 1B")
     args = ap.parse_args(argv)
 
     from gpann_tpu.cluster.streaming import streaming_capacity_partition
@@ -99,6 +111,36 @@ def main(argv=None) -> int:
            f"{args.shards}{dsuf}")
     mtag = tag if args.method == "bkm" else f"{tag}_{args.method}"
     t_all = time.time()
+
+    def _child_cmd() -> list:
+        """argv prefix reproducing this run's stage-relevant flags (child
+        processes re-resolve every cache path from them)."""
+        return [sys.executable, "-m", "gpann_tpu.cli.scale_bench",
+                "--n", str(args.n), "--d", str(args.d),
+                "--shards", str(args.shards), "--nq", str(args.nq),
+                "--kind", args.kind, "--seed", str(args.seed),
+                "--dtype", args.dtype,
+                "--eps", str(args.eps), "--method", args.method,
+                "--gp-subsample", str(args.gp_subsample),
+                "--gp-aggregates", str(args.gp_aggregates),
+                "--train-sample", str(args.train_sample),
+                "--scan-mode", args.scan_mode,
+                "--sub-nprobe", str(args.sub_nprobe),
+                "--sub-size", str(args.sub_size)]
+
+    if args.isolate_stages and not args.until and not args.curve_partial:
+        # each build stage streams O(base) bytes through the device and the
+        # axon client pins every upload's host copy until process death —
+        # give each stage its own (dying) address space; the parent then
+        # cache-hits everything and only orchestrates the curve pass
+        import subprocess
+
+        stages = ["partition", "gt", "router"]
+        if args.sub_nprobe > 0:
+            stages.append("subclusters")
+        for st in stages:
+            log(f"stage child: {st}")
+            subprocess.run(_child_cmd() + ["--until", st], check=True)
 
     def _stamp(path: str, seconds: float) -> None:
         with open(path + ".time", "w") as f:
@@ -153,6 +195,8 @@ def main(argv=None) -> int:
     assert sizes.max() <= cap, (sizes.max(), cap)
     log(f"partition: sizes [{sizes.min()}..{sizes.max()}] "
         f"balance={balance:.4f} (cap ratio {1 + args.eps}) ({t_part:.0f}s)")
+    if args.until == "partition":
+        return 0
 
     gt_path = os.path.join(cache, f"{tag}_gt.npz")
     t0 = time.time()
@@ -175,6 +219,8 @@ def main(argv=None) -> int:
         _stamp(gt_path, t_gt)
     kth = kth_neighbor_distance(gt_d, K)
     log(f"ground truth ready ({t_gt:.0f}s)")
+    if args.until == "gt":
+        return 0
 
     rt_path = os.path.join(cache, f"{mtag}_router.npz")
     t0 = time.time()
@@ -196,6 +242,8 @@ def main(argv=None) -> int:
         t_router = time.time() - t0
         _stamp(rt_path, t_router)
     log(f"router ready ({len(rp)} routing points) ({t_router:.0f}s)")
+    if args.until == "router":
+        return 0
 
     clusters = partition_to_clusters(part, args.shards)
     engine = StreamedShardEngine(pts, clusters, rp, rl,
@@ -217,6 +265,8 @@ def main(argv=None) -> int:
         n_sub = sum(len(s) for s in engine.sub_members)
         log(f"sub-clusters ready: {n_sub} across {args.shards} shards "
             f"(target {args.sub_size} pts each) ({t_subc:.0f}s)")
+    if args.until == "subclusters":
+        return 0
 
     if args.curve_partial:
         # child mode: scan shards [lo, hi) into partial candidate tables
@@ -242,20 +292,9 @@ def main(argv=None) -> int:
         for lo in range(0, args.shards, args.shard_chunk):
             hi = min(lo + args.shard_chunk, args.shards)
             pout = os.path.join(cache, f"{tag}_partial_{lo}_{hi}.npz")
-            cmd = [sys.executable, "-m", "gpann_tpu.cli.scale_bench",
-                   "--n", str(args.n), "--d", str(args.d),
-                   "--shards", str(args.shards), "--nq", str(args.nq),
-                   "--kind", args.kind, "--seed", str(args.seed),
-                   "--dtype", args.dtype,
-                   "--eps", str(args.eps), "--method", args.method,
-                   "--gp-subsample", str(args.gp_subsample),
-                   "--gp-aggregates", str(args.gp_aggregates),
-                   "--train-sample", str(args.train_sample),
-                   "--scan-mode", args.scan_mode,
-                   "--sub-nprobe", str(args.sub_nprobe),
-                   "--sub-size", str(args.sub_size),
-                   "--curve-partial", f"{lo}:{hi}:{pout}"]
-            subprocess.run(cmd, check=True)
+            subprocess.run(
+                _child_cmd() + ["--curve-partial", f"{lo}:{hi}:{pout}"],
+                check=True)
             p = np.load(pout)
             better = p["tab_d"] < tab_d
             tab_d = np.where(better, p["tab_d"], tab_d)

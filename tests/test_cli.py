@@ -128,3 +128,39 @@ def test_distributed_bench_cli(data):
         str(data / "base.fbin"), str(data / "queries.fbin"), "10", part, "2",
     ])
     assert rc == 0
+
+
+def test_scale_bench_isolate_stages_cli(tmp_path):
+    """scale_bench end-to-end as a user runs it at scale: every build stage
+    in its own child process (--isolate-stages; the axon client pins upload
+    host copies until process death, docs/PERF.md) plus the chunked curve
+    pass and in-shard pruning. Children are real subprocesses, so the CPU
+    platform is forced via env (PALLAS_AXON_POOL_IPS unset disables the
+    sitecustomize axon registration; JAX_PLATFORMS then applies)."""
+    import subprocess
+    import sys
+
+    env = {**os.environ, "HOME": str(tmp_path),
+           "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    out = tmp_path / "scale.csv"
+    proc = subprocess.run(
+        [sys.executable, "-m", "gpann_tpu.cli.scale_bench",
+         "--n", "6000", "--d", "16", "--shards", "8", "--nq", "32",
+         "--dtype", "u8", "--method", "gp", "--gp-subsample", "2000",
+         "--gp-aggregates", "64", "--train-sample", "2000",
+         "--scan-mode", "exact", "--sub-nprobe", "2", "--sub-size", "256",
+         "--isolate-stages", "--shard-chunk", "4", "--out", str(out)],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # all four stage children ran
+    for st in ("partition", "gt", "router", "subclusters"):
+        assert f"stage child: {st}" in proc.stderr, proc.stderr[-2000:]
+    lines = open(out).read().strip().split("\n")
+    assert lines[0].startswith("n,d,shards")
+    rows = [l.split(",") for l in lines[1:]]
+    assert len(rows) == 8
+    # recall at full probes ~1.0 (pruning keeps it a top-k subset, allow slack)
+    assert float(rows[-1][7]) > 0.9
+    # balance cap respected
+    assert float(rows[0][8]) <= 1.05 + 1e-9
