@@ -74,6 +74,13 @@ def main(argv=None) -> int:
                          "caches) a one-pass sub-cluster artifact")
     ap.add_argument("--sub-size", type=int, default=65536,
                     help="target points per sub-cluster for --sub-nprobe")
+    ap.add_argument("--max-nprobes", type=int, default=0,
+                    help="evaluate the recall curve only up to this many "
+                         "probes (0 = all shards). With --sub-nprobe this is "
+                         "the small-batch serving scenario where in-shard "
+                         "pruning actually cuts streamed bytes: only shards "
+                         "probed by some query are touched, and only their "
+                         "probing queries' closest sub-clusters upload")
     ap.add_argument("--out", default="exp_outputs/scale64m.csv")
     ap.add_argument("--shard-chunk", type=int, default=0,
                     help="process the curve pass in child processes of this "
@@ -110,6 +117,7 @@ def main(argv=None) -> int:
     tag = (f"scale_{args.kind}_{args.seed}_{args.n}_{args.d}_"
            f"{args.shards}{dsuf}")
     mtag = tag if args.method == "bkm" else f"{tag}_{args.method}"
+    nprobes_eval = args.max_nprobes if args.max_nprobes > 0 else args.shards
     t_all = time.time()
 
     def _child_cmd() -> list:
@@ -126,7 +134,8 @@ def main(argv=None) -> int:
                 "--train-sample", str(args.train_sample),
                 "--scan-mode", args.scan_mode,
                 "--sub-nprobe", str(args.sub_nprobe),
-                "--sub-size", str(args.sub_size)]
+                "--sub-size", str(args.sub_size),
+                "--max-nprobes", str(args.max_nprobes)]
 
     if args.isolate_stages and not args.until and not args.curve_partial:
         # each build stage streams O(base) bytes through the device and the
@@ -201,13 +210,15 @@ def main(argv=None) -> int:
     gt_path = os.path.join(cache, f"{tag}_gt.npz")
     t0 = time.time()
     g = np.load(gt_path) if os.path.exists(gt_path) else None
-    if g is not None and "queries" in g:
+    if g is not None and "queries" in g and len(g["queries"]) >= args.nq:
         # the query set is part of the GT artifact: reuse the SAVED queries
         # so a cached GT stays consistent even if the synthetic generator
         # evolves between runs (learned the hard way: a generator change
         # mid-run silently invalidated GT<->queries and flattened the
-        # recall curve at 0.54)
-        gt_i, gt_d, queries = g["ids"], g["dists"], g["queries"]
+        # recall curve at 0.54). A smaller --nq evaluates a prefix of the
+        # cached query set (the cache is nq-agnostic by tag).
+        gt_i, gt_d, queries = (g["ids"][: args.nq], g["dists"][: args.nq],
+                               g["queries"][: args.nq])
         t_gt = _cached_time(gt_path)
     else:
         if g is not None:
@@ -272,7 +283,7 @@ def main(argv=None) -> int:
         # child mode: scan shards [lo, hi) into partial candidate tables
         lo, hi, out_npz = args.curve_partial.split(":")
         tab_d, tab_i, stats = engine.search(
-            queries, K, engine.num_shards, return_tables=True,
+            queries, K, nprobes_eval, return_tables=True,
             shard_range=(int(lo), int(hi)), sub_nprobe=sub_np,
         )
         np.savez(out_npz, tab_d=tab_d, tab_i=tab_i,
@@ -287,8 +298,8 @@ def main(argv=None) -> int:
         import subprocess
 
         gb = 0.0
-        tab_d = np.full((args.nq, args.shards, K), np.inf, np.float32)
-        tab_i = np.full((args.nq, args.shards, K), -1, np.int64)
+        tab_d = np.full((args.nq, nprobes_eval, K), np.inf, np.float32)
+        tab_i = np.full((args.nq, nprobes_eval, K), -1, np.int64)
         for lo in range(0, args.shards, args.shard_chunk):
             hi = min(lo + args.shard_chunk, args.shards)
             pout = os.path.join(cache, f"{tag}_partial_{lo}_{hi}.npz")
@@ -309,6 +320,7 @@ def main(argv=None) -> int:
         stats = {"route_s": 0.0, "gather_s": 0.0, "scan_s": 0.0}
     else:
         curve, stats = engine.recall_curve(queries, K, kth, verbose=False,
+                                           max_nprobes=nprobes_eval,
                                            sub_nprobe=sub_np)
         gb = stats["bytes_uploaded"] / 1e9
     t_curve = time.time() - t0
@@ -319,7 +331,7 @@ def main(argv=None) -> int:
         + " ".join(f"{p+1}:{r:.4f}" for p, r in enumerate(curve)))
 
     ok = np.nonzero(curve >= 0.95)[0]
-    nprobes = int(ok[0] + 1) if len(ok) else args.shards
+    nprobes = int(ok[0] + 1) if len(ok) else nprobes_eval
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
