@@ -273,9 +273,33 @@ def main() -> int:
         d0, _ = serve_dev()
         acc = d0 if acc is None else acc + d0
     float(jnp.sum(jnp.where(jnp.isfinite(acc), acc, 0.0)))  # sync
-    pipelined_lat = (time.time() - t0) / reps
+    dispatch_lat = (time.time() - t0) / reps
+    log(f"serve (per-dispatch): {NQ / dispatch_lat:.0f} qps "
+        f"({dispatch_lat * 1e3:.1f} ms/batch)")
+
+    # steady-state: a window of DISTINCT batches served by one program
+    # (lax.scan over the batch axis) — amortizes the per-dispatch tunnel
+    # submission cost (container-dependent, measured 8+ ms; docs/PERF.md),
+    # which a production pipeline overlaps with compute
+    WINDOW = 32
+    batches = jnp.stack([jnp.roll(q_dev, 17 * r, axis=0)
+                         for r in range(WINDOW)])
+
+    def serve_window():
+        return engine.serve_scan(batches, K, nprobes, voting_t=VOTING_T,
+                                 rule=RULE, query_block=QUERY_BLOCK)
+
+    ds, _ = serve_window()
+    float(jnp.sum(jnp.where(jnp.isfinite(ds), ds, 0.0)))  # warm + sync
+    t0 = time.time()
+    ds1, _ = serve_window()
+    ds2, _ = serve_window()
+    float(jnp.sum(jnp.where(jnp.isfinite(ds1), ds1, 0.0))
+          + jnp.sum(jnp.where(jnp.isfinite(ds2), ds2, 0.0)))  # sync
+    pipelined_lat = (time.time() - t0) / (2 * WINDOW)
     qps = NQ / pipelined_lat
-    log(f"serve: {qps:.0f} qps ({pipelined_lat * 1e3:.1f} ms/batch)")
+    log(f"serve: {qps:.0f} qps ({pipelined_lat * 1e3:.1f} ms/batch, "
+        f"{WINDOW}-batch windows)")
 
     print(
         json.dumps(
@@ -288,6 +312,7 @@ def main() -> int:
                 "nprobes": nprobes,
                 "num_shards": SHARDS,
                 "brute_force_qps": round(brute_qps, 1),
+                "per_dispatch_qps": round(NQ / dispatch_lat, 1),
                 "batch": NQ,
                 "total_seconds": round(time.time() - _T0, 1),
             }

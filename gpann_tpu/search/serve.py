@@ -442,6 +442,48 @@ class ServingEngine:
             self.router_sq,
         )
 
+    def serve_scan(
+        self,
+        batches,                     # [r, m, d] stack of query batches
+        k: int,
+        nprobes: int,
+        voting_t: int = 60,
+        rule: str = "min_dist",
+        query_block: int = 1024,
+        spann_eps: float = 0.6,
+    ):
+        """Serve a stack of query batches inside ONE compiled program
+        (``lax.scan`` over the batch axis) — the steady-state pipelined
+        serving form. A per-batch dispatch pays the host->device submission
+        round trip every batch (measured 8+ ms over this environment's
+        tunnel, container-dependent; docs/PERF.md); scanning the window on
+        device amortizes it to nothing, exactly like the distributed
+        engine's microbatch scan (dist/mesh.py) and the reference's
+        doubling-batch pipelining (distributed_query_benchmark.h:148-158).
+        Returns device arrays ``([r, m, k] dists, [r, m, k] ids)``."""
+        key = ("scan", k, nprobes, voting_t, rule, query_block, spann_eps)
+        if key not in self._fns:
+            fn = self._build(k, nprobes, voting_t, rule, query_block,
+                             spann_eps)
+
+            def scanned(qs, sp, sse, sid, rp, rl, rsq):
+                def body(carry, q):
+                    return carry, fn(q, sp, sse, sid, rp, rl, rsq)
+
+                _, out = jax.lax.scan(body, 0, qs)
+                return out
+
+            self._fns[key] = jax.jit(scanned)
+        return self._fns[key](
+            jnp.asarray(batches, jnp.float32),
+            self.shard_points,
+            self.shard_sizes_ext,
+            self.shard_ids,
+            self.router_points,
+            self.router_labels,
+            self.router_sq,
+        )
+
     def serve(
         self,
         queries,

@@ -179,3 +179,19 @@ def test_serve_overlapping_dedup():
     for row in i:
         row = row[row >= 0]
         assert len(np.unique(row)) == len(row)  # no duplicate ids returned
+
+
+def test_serve_scan_matches_serve(setup):
+    """serve_scan (one lax.scan program over a batch window) must agree
+    batch-for-batch with per-dispatch serve — same pipeline, different
+    submission granularity."""
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    batches = np.stack([q, np.roll(q, 7, axis=0)])
+    sd, si = engine.serve_scan(batches, k=10, nprobes=3, voting_t=8,
+                               query_block=32)
+    sd, si = np.asarray(sd), np.asarray(si)
+    for r in range(2):
+        fd, fi = engine.serve(batches[r], k=10, nprobes=3, voting_t=8,
+                              query_block=32)
+        np.testing.assert_allclose(sd[r], fd, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(si[r], fi)
