@@ -51,6 +51,11 @@ def main(argv=None) -> int:
                     help="base storage dtype; byte bases are widened to f32 "
                          "chunk-by-chunk on the fly (points_io.cpp:114-124 "
                          "semantics) — 250Mx96 u8 = 24 GB on disk")
+    ap.add_argument("--metric", default="l2", choices=("l2", "mips"),
+                    help="distance at runtime (the reference needs two "
+                         "compile trees, CMakeLists.txt:54-59; T2I-1B is "
+                         "MIPS). Threads through partition, GT, router and "
+                         "the streamed engine; caches are metric-tagged")
     ap.add_argument("--seed", type=int, default=555)
     ap.add_argument("--eps", type=float, default=0.05)
     ap.add_argument("--train-sample", type=int, default=4_000_000)
@@ -114,6 +119,8 @@ def main(argv=None) -> int:
     cache = os.path.expanduser("~/.cache/gpann_tpu")
     # data + GT caches are method-independent; partition/router are not
     dsuf = "" if args.dtype == "f32" else f"_{args.dtype}"
+    if args.metric != "l2":
+        dsuf += f"_{args.metric}"
     tag = (f"scale_{args.kind}_{args.seed}_{args.n}_{args.d}_"
            f"{args.shards}{dsuf}")
     mtag = tag if args.method == "bkm" else f"{tag}_{args.method}"
@@ -127,7 +134,7 @@ def main(argv=None) -> int:
                 "--n", str(args.n), "--d", str(args.d),
                 "--shards", str(args.shards), "--nq", str(args.nq),
                 "--kind", args.kind, "--seed", str(args.seed),
-                "--dtype", args.dtype,
+                "--dtype", args.dtype, "--metric", args.metric,
                 "--eps", str(args.eps), "--method", args.method,
                 "--gp-subsample", str(args.gp_subsample),
                 "--gp-aggregates", str(args.gp_aggregates),
@@ -184,6 +191,7 @@ def main(argv=None) -> int:
 
             part, (aggs, agg_lbl, _, _) = subsample_gp_partition(
                 pts, k=args.shards, eps=args.eps, seed=args.seed,
+                metric=args.metric,
                 num_subsample=args.gp_subsample,
                 num_aggregate=args.gp_aggregates,
                 return_artifacts=True,
@@ -193,7 +201,7 @@ def main(argv=None) -> int:
         else:
             part = streaming_capacity_partition(
                 pts, k=args.shards, eps=args.eps, seed=args.seed,
-                train_sample=args.train_sample,
+                metric=args.metric, train_sample=args.train_sample,
             )
         np.save(part_path, part)
         t_part = time.time() - t0
@@ -224,7 +232,8 @@ def main(argv=None) -> int:
         if g is not None:
             log("GT cache lacks its query set (pre-versioning artifact): "
                 "recomputing GT for the current generator's queries")
-        gt_d, gt_i = streaming_topk_neighbors(queries, pts, K)
+        gt_d, gt_i = streaming_topk_neighbors(queries, pts, K,
+                                              metric=args.metric)
         np.savez(gt_path, ids=gt_i, dists=gt_d, queries=queries)
         t_gt = time.time() - t0
         _stamp(gt_path, t_gt)
@@ -246,8 +255,8 @@ def main(argv=None) -> int:
         sub_pts = np.asarray(pts[sub], np.float32)
         sub_clusters = partition_to_clusters(part[sub], args.shards)
         opts = KMeansTreeRouterOptions(num_centroids=32, budget=40_000)
-        kmtr = KMeansTreeRouter().train(sub_pts, sub_clusters, opts,
-                                        seed=args.seed)
+        kmtr = KMeansTreeRouter(metric=args.metric).train(
+            sub_pts, sub_clusters, opts, seed=args.seed)
         rp, rl = kmtr.extract_points()
         np.savez(rt_path, rp=rp, rl=rl)
         t_router = time.time() - t0
@@ -258,6 +267,7 @@ def main(argv=None) -> int:
 
     clusters = partition_to_clusters(part, args.shards)
     engine = StreamedShardEngine(pts, clusters, rp, rl,
+                                 metric=args.metric,
                                  scan_mode=args.scan_mode)
 
     sub_np = args.sub_nprobe if args.sub_nprobe > 0 else None
@@ -335,18 +345,19 @@ def main(argv=None) -> int:
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
-        f.write("n,d,shards,kind,dtype,method,nprobes,recall,balance,"
-                "curve_pass_s,gb_streamed,partition_s,gt_s,router_s,"
-                "sub_nprobe\n")
+        f.write("n,d,shards,kind,dtype,metric,method,nprobes,recall,"
+                "balance,curve_pass_s,gb_streamed,partition_s,gt_s,"
+                "router_s,sub_nprobe\n")
         for p, r in enumerate(curve):
             f.write(f"{args.n},{args.d},{args.shards},{args.kind},"
-                    f"{args.dtype},{args.method},{p+1},"
+                    f"{args.dtype},{args.metric},{args.method},{p+1},"
                     f"{r:.6f},{balance:.4f},{t_curve:.1f},{gb:.2f},"
                     f"{t_part:.1f},{t_gt:.1f},{t_router:.1f},"
                     f"{args.sub_nprobe}\n")
     summary = {
         "n": args.n, "shards": args.shards, "kind": args.kind,
-        "dtype": args.dtype, "method": args.method,
+        "dtype": args.dtype, "metric": args.metric,
+        "method": args.method,
         "balance": round(balance, 4),
         "nprobes_at_95": nprobes,
         "recall_at_nprobes": round(float(curve[nprobes - 1]), 4),

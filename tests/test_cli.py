@@ -161,6 +161,26 @@ def test_scale_bench_isolate_stages_cli(tmp_path):
     rows = [l.split(",") for l in lines[1:]]
     assert len(rows) == 8
     # recall at full probes ~1.0 (pruning keeps it a top-k subset, allow slack)
-    assert float(rows[-1][7]) > 0.9
+    assert float(rows[-1][8]) > 0.9
     # balance cap respected
-    assert float(rows[0][8]) <= 1.05 + 1e-9
+    assert float(rows[0][9]) <= 1.05 + 1e-9
+
+
+def test_scale_bench_mips_cli(tmp_path, monkeypatch):
+    """Runtime-metric parity on the scale path: the reference needs a second
+    compile tree for MIPS (CMakeLists.txt:54-59, T2I-1B); here it is a flag.
+    In-process (no children), exact scan, GP partitioner."""
+    monkeypatch.setenv("HOME", str(tmp_path))
+    from gpann_tpu.cli import scale_bench
+
+    out = tmp_path / "scale_mips.csv"
+    rc = scale_bench.main([
+        "--n", "6000", "--d", "16", "--shards", "8", "--nq", "32",
+        "--metric", "mips", "--method", "gp", "--gp-subsample", "2000",
+        "--gp-aggregates", "64", "--train-sample", "2000",
+        "--scan-mode", "exact", "--out", str(out)])
+    assert rc == 0
+    rows = [l.split(",") for l in open(out).read().strip().split("\n")[1:]]
+    assert len(rows) == 8
+    assert float(rows[-1][8]) > 0.95       # full probes ~exact under MIPS
+    assert float(rows[0][9]) <= 1.05 + 1e-9
