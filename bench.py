@@ -280,10 +280,20 @@ def main() -> int:
     # steady-state: a window of DISTINCT batches served by one program
     # (lax.scan over the batch axis) — amortizes the per-dispatch tunnel
     # submission cost (container-dependent, measured 8+ ms; docs/PERF.md),
-    # which a production pipeline overlaps with compute
+    # which a production pipeline overlaps with compute. Every batch is a
+    # fresh query draw from the mixture (round-3 used rolled copies of one
+    # batch — identical content every batch, slightly favorable)
     WINDOW = 32
-    batches = jnp.stack([jnp.roll(q_dev, 17 * r, axis=0)
-                         for r in range(WINDOW)])
+    rng_w = np.random.default_rng(SEED + 2)
+    num_blobs = 64
+    centers_w = (np.random.default_rng(SEED)
+                 .standard_normal((num_blobs, D)).astype(np.float32) * 2.0)
+    pool = (
+        centers_w[rng_w.integers(0, num_blobs, size=WINDOW * NQ)]
+        + 0.6 * rng_w.standard_normal((WINDOW * NQ, D))
+    ).astype(np.float32)
+    batches = jnp.asarray(pool.reshape(WINDOW, NQ, D))
+    batches.block_until_ready()
 
     def serve_window():
         return engine.serve_scan(batches, K, nprobes, voting_t=VOTING_T,

@@ -30,12 +30,13 @@ EPS = 0.05  # partition.cpp:88
 
 
 def run_method(points, k, method, eps=EPS, overlap=0.0, metric="l2", seed=555,
-               strong=False):
+               strong=False, routing_index_path=None):
     """Dispatch a partitioning method; returns Clusters."""
     from gpann_tpu.gp import api as gp_api
 
     return gp_api.partition(points, k, method, eps=eps, overlap=overlap,
-                            metric=metric, seed=seed, strong=strong)
+                            metric=metric, seed=seed, strong=strong,
+                            routing_index_path=routing_index_path)
 
 
 def main(argv=None) -> int:
@@ -54,13 +55,20 @@ def main(argv=None) -> int:
     points = read_points(point_file, size=size)
     print(f"loaded {points.shape}; partitioning with {method} k={k}"
           + (" (strong)" if strong else ""), flush=True)
-    clusters = run_method(points, k, method, overlap=overlap, metric=metric,
-                          strong=strong)
-
     suffix = f".k={k}.{method}"
     if method.startswith("O"):  # overlapping methods record the overlap
         suffix += f".o={overlap}"
     out = out_prefix + suffix
+    # Pyramid/OurPyramid save their coarse routing index next to the
+    # partition (partition.cpp:94,110); QueryAttribution re-loads it for the
+    # side-index routing sweep (routes.cpp:287-311)
+    ri_path = None
+    if method == "Pyramid":
+        ri_path = out + ".pyramid_routing_index"
+    elif method == "OurPyramid":
+        ri_path = out + ".our_pyramid_routing_index"
+    clusters = run_method(points, k, method, overlap=overlap, metric=metric,
+                          strong=strong, routing_index_path=ri_path)
     write_clusters(out, clusters)
     sizes = [len(c) for c in clusters]
     print(f"wrote {out}; sizes min={min(sizes)} max={max(sizes)} "

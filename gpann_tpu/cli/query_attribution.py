@@ -72,8 +72,29 @@ def main(argv=None) -> int:
 
         budgets = default_budgets(points.shape[0])
     print(f"router budget grid: {budgets}", flush=True)
+
+    # Pyramid/OurPyramid saved routing indices next to the partition file
+    # (run_query_attribution.cpp:70-79 derives the paths from the partition
+    # file name when the method matches; routes.cpp:287-311 sweeps them)
+    import os
+
+    from gpann_tpu.route.flat import FlatRouter
+
+    def _side_index(suffix):
+        p = part_file + suffix + ".npz"
+        if os.path.exists(p):
+            print(f"loading side routing index {p}", flush=True)
+            return FlatRouter.load(p)
+        return None
+
+    pyramid_index = (_side_index(".pyramid_routing_index")
+                     if part_method == "Pyramid" else None)
+    our_pyramid_index = (_side_index(".our_pyramid_routing_index")
+                         if part_method == "OurPyramid" else None)
+
     routes = iterate_routing_configs(
-        points, queries, clusters, budgets=budgets, metric=metric
+        points, queries, clusters, budgets=budgets, metric=metric,
+        pyramid_index=pyramid_index, our_pyramid_index=our_pyramid_index,
     )
     serialize_routes(routes, out_prefix + ".routes")
     print(f"{len(routes)} routing configs -> {out_prefix}.routes", flush=True)

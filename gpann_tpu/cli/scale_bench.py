@@ -86,6 +86,27 @@ def main(argv=None) -> int:
                          "pruning actually cuts streamed bytes: only shards "
                          "probed by some query are touched, and only their "
                          "probing queries' closest sub-clusters upload")
+    ap.add_argument("--base", default="disk", choices=("disk", "virtual"),
+                    help="virtual = zero-disk chunk-regenerating base "
+                         "(eval/synth.py::VirtualPoints); at 1B x 96 u8 the "
+                         "materialized base alone is 96 GB — the virtual "
+                         "base + --layout shard-major writes the base to "
+                         "disk exactly once, already in shard order")
+    ap.add_argument("--layout", default="rows",
+                    choices=("rows", "shard-major"),
+                    help="shard-major: fuse the capacity assignment with an "
+                         "on-disk relayout (search/relayout.py) so the "
+                         "curve pass reads each shard as ONE contiguous "
+                         "slice (inverted_index.h:20-41, "
+                         "distributed_query_benchmark.h:48-84) instead of "
+                         "fancy-indexing scattered rows (~100x slower at "
+                         "250M, VERDICT r3)")
+    ap.add_argument("--assign-chunks", type=int, default=0,
+                    help="shard-major only: max chunks the partition stage "
+                         "processes per invocation (0 = all). With "
+                         "--isolate-stages the parent re-invokes the child "
+                         "until complete, bounding each child's axon "
+                         "upload leak (docs/PERF.md)")
     ap.add_argument("--out", default="exp_outputs/scale64m.csv")
     ap.add_argument("--shard-chunk", type=int, default=0,
                     help="process the curve pass in child processes of this "
@@ -95,7 +116,8 @@ def main(argv=None) -> int:
                     help="internal: 'lo:hi:out.npz' — scan only shards "
                          "[lo,hi), dump candidate tables, exit")
     ap.add_argument("--until", default=None,
-                    choices=("partition", "gt", "router", "subclusters"),
+                    choices=("aggs", "partition", "gt", "router",
+                             "subclusters"),
                     help="internal: exit after this stage's artifact is "
                          "cached (stage-isolation child mode)")
     ap.add_argument("--isolate-stages", action="store_true",
@@ -108,7 +130,8 @@ def main(argv=None) -> int:
                          "measured at 250M u8; REQUIRED at 1B")
     args = ap.parse_args(argv)
 
-    from gpann_tpu.cluster.streaming import streaming_capacity_partition
+    from gpann_tpu.cluster.streaming import (capacity_stream_assign,
+                                             streaming_capacity_partition)
     from gpann_tpu.core.distances import streaming_topk_neighbors
     from gpann_tpu.core.partition import partition_to_clusters
     from gpann_tpu.eval import kth_neighbor_distance
@@ -117,6 +140,7 @@ def main(argv=None) -> int:
     from gpann_tpu.search.streamed import StreamedShardEngine
 
     cache = os.path.expanduser("~/.cache/gpann_tpu")
+    os.makedirs(cache, exist_ok=True)  # virtual bases never touch dataset_cached
     # data + GT caches are method-independent; partition/router are not
     dsuf = "" if args.dtype == "f32" else f"_{args.dtype}"
     if args.metric != "l2":
@@ -126,6 +150,9 @@ def main(argv=None) -> int:
     mtag = tag if args.method == "bkm" else f"{tag}_{args.method}"
     nprobes_eval = args.max_nprobes if args.max_nprobes > 0 else args.shards
     t_all = time.time()
+
+    store_dir = os.path.join(cache, f"{mtag}_store")
+    shard_major = args.layout == "shard-major"
 
     def _child_cmd() -> list:
         """argv prefix reproducing this run's stage-relevant flags (child
@@ -142,6 +169,8 @@ def main(argv=None) -> int:
                 "--scan-mode", args.scan_mode,
                 "--sub-nprobe", str(args.sub_nprobe),
                 "--sub-size", str(args.sub_size),
+                "--base", args.base, "--layout", args.layout,
+                "--assign-chunks", str(args.assign_chunks),
                 "--max-nprobes", str(args.max_nprobes)]
 
     if args.isolate_stages and not args.until and not args.curve_partial:
@@ -151,16 +180,42 @@ def main(argv=None) -> int:
         # cache-hits everything and only orchestrates the curve pass
         import subprocess
 
+        from gpann_tpu.search.relayout import ShardMajorStore
+
         stages = ["partition", "gt", "router"]
+        if args.method == "gp":
+            stages.insert(0, "aggs")
         if args.sub_nprobe > 0:
             stages.append("subclusters")
         for st in stages:
+            if st == "partition" and shard_major:
+                # the fused assign+relayout stage checkpoints per chunk
+                # batch: re-invoke (each child leaks only its own chunks'
+                # uploads) until the store is complete
+                rounds = 0
+                while not ShardMajorStore.exists(store_dir):
+                    log(f"stage child: partition (round {rounds})")
+                    subprocess.run(_child_cmd() + ["--until", st],
+                                   check=True)
+                    rounds += 1
+                    assert rounds < 1000, "partition stage not progressing"
+                continue
             log(f"stage child: {st}")
             subprocess.run(_child_cmd() + ["--until", st], check=True)
 
     def _stamp(path: str, seconds: float) -> None:
         with open(path + ".time", "w") as f:
             json.dump({"seconds": seconds}, f)
+
+    def _stamp_add(path: str, seconds: float) -> None:
+        """Accumulate build time across resumed invocations of one stage."""
+        prev = 0.0
+        try:
+            with open(path + ".time") as f:
+                prev = float(json.load(f)["seconds"])
+        except Exception:
+            pass
+        _stamp(path, prev + seconds)
 
     def _cached_time(path: str) -> float:
         """Original build time of a cached stage artifact (NaN for caches
@@ -173,40 +228,104 @@ def main(argv=None) -> int:
             return float("nan")
 
     t0 = time.time()
-    pts, pts_path = dataset_cached(args.kind, args.n, args.d, args.seed,
-                                   dtype=args.dtype)
+    if args.base == "virtual":
+        from gpann_tpu.eval.synth import VirtualPoints
+
+        pts = VirtualPoints(args.kind, args.n, args.d, args.seed,
+                            dtype=args.dtype)
+        pts_path = "<virtual>"
+    else:
+        pts, pts_path = dataset_cached(args.kind, args.n, args.d, args.seed,
+                                       dtype=args.dtype)
     queries = generate_queries(args.kind, args.nq, args.d, args.seed,
                                dtype=args.dtype)
     t_data = time.time() - t0
     log(f"base ready: {pts.shape} at {pts_path} ({t_data:.0f}s)")
 
-    part_path = os.path.join(cache, f"{mtag}_part.npy")
-    t0 = time.time()
-    if os.path.exists(part_path):
-        part = np.load(part_path)
-        t_part = _cached_time(part_path)
-    else:
-        if args.method == "gp":
-            from gpann_tpu.gp.scale import subsample_gp_partition
+    aggs_path = os.path.join(cache, f"{mtag}_aggs.npz")
 
-            part, (aggs, agg_lbl, _, _) = subsample_gp_partition(
-                pts, k=args.shards, eps=args.eps, seed=args.seed,
-                metric=args.metric,
-                num_subsample=args.gp_subsample,
-                num_aggregate=args.gp_aggregates,
-                return_artifacts=True,
-            )
-            np.savez(os.path.join(cache, f"{mtag}_aggs.npz"),
-                     aggs=aggs, labels=agg_lbl)
+    def _ensure_aggs():
+        """Subsample-GP representatives (steps 1-3 of gp/scale.py), cached —
+        its own stage so the graph build's RSS dies with the child."""
+        if os.path.exists(aggs_path):
+            z = np.load(aggs_path)
+            return z["aggs"], z["labels"]
+        from gpann_tpu.gp.scale import subsample_gp_aggregates
+
+        t0 = time.time()
+        aggs, agg_lbl, _, _ = subsample_gp_aggregates(
+            pts, k=args.shards, eps=args.eps, seed=args.seed,
+            metric=args.metric, num_subsample=args.gp_subsample,
+            num_aggregate=args.gp_aggregates,
+        )
+        np.savez(aggs_path, aggs=aggs, labels=agg_lbl)
+        _stamp(aggs_path, time.time() - t0)
+        return aggs, agg_lbl
+
+    def _bkm_reps():
+        """Lloyd centroids on an in-RAM subsample (train_sample path of
+        streaming_capacity_partition); labels = identity."""
+        from gpann_tpu.cluster.kmeans import kmeans as _lloyd
+
+        rng = np.random.default_rng(args.seed)
+        if getattr(pts, "iid_rows", False):
+            sample = np.asarray(pts[: args.train_sample], np.float32)
         else:
-            part = streaming_capacity_partition(
-                pts, k=args.shards, eps=args.eps, seed=args.seed,
-                metric=args.metric, train_sample=args.train_sample,
+            idx = np.sort(rng.choice(
+                args.n, size=min(args.train_sample, args.n), replace=False))
+            sample = np.asarray(pts[idx], np.float32)
+        cents, _ = _lloyd(sample, k=args.shards, metric=args.metric,
+                          seed=args.seed)
+        return cents, np.arange(args.shards)
+
+    if args.until == "aggs":
+        if args.method == "gp":
+            _ensure_aggs()
+        return 0
+
+    store = None
+    if shard_major:
+        from gpann_tpu.search.relayout import (ShardMajorStore,
+                                               capacity_assign_to_store)
+
+        if not ShardMajorStore.exists(store_dir):
+            t0 = time.time()
+            aggs, agg_lbl = (_ensure_aggs() if args.method == "gp"
+                             else _bkm_reps())
+            complete = capacity_assign_to_store(
+                pts, aggs, agg_lbl, args.shards, store_dir, eps=args.eps,
+                metric=args.metric,
+                max_chunks=(args.assign_chunks or None), log=log,
             )
-        np.save(part_path, part)
-        t_part = time.time() - t0
-        _stamp(part_path, t_part)
-    sizes = np.bincount(part, minlength=args.shards)
+            _stamp_add(store_dir, time.time() - t0)
+            if not complete:
+                log("partition stage checkpointed (incomplete); re-invoke")
+                return 0
+        store = ShardMajorStore(store_dir)
+        sizes = np.asarray(store.sizes)
+        t_part = _cached_time(store_dir)
+    else:
+        part_path = os.path.join(cache, f"{mtag}_part.npy")
+        t0 = time.time()
+        if os.path.exists(part_path):
+            part = np.load(part_path)
+            t_part = _cached_time(part_path)
+        else:
+            if args.method == "gp":
+                aggs, agg_lbl = _ensure_aggs()
+                part = capacity_stream_assign(
+                    pts, aggs, agg_lbl, args.shards, eps=args.eps,
+                    metric=args.metric,
+                )
+            else:
+                part = streaming_capacity_partition(
+                    pts, k=args.shards, eps=args.eps, seed=args.seed,
+                    metric=args.metric, train_sample=args.train_sample,
+                )
+            np.save(part_path, part)
+            t_part = time.time() - t0
+            _stamp(part_path, t_part)
+        sizes = np.bincount(part, minlength=args.shards)
     cap = (1.0 + args.eps) * np.ceil(args.n / args.shards)
     balance = float(sizes.max() / np.ceil(args.n / args.shards))
     assert sizes.max() <= cap, (sizes.max(), cap)
@@ -232,8 +351,18 @@ def main(argv=None) -> int:
         if g is not None:
             log("GT cache lacks its query set (pre-versioning artifact): "
                 "recomputing GT for the current generator's queries")
-        gt_d, gt_i = streaming_topk_neighbors(queries, pts, K,
-                                              metric=args.metric)
+        if store is not None:
+            # sequential contiguous reads over the shard-major layout;
+            # returned positions map back to original ids via the sidecar.
+            # Bigger base chunks than the rows path: the 250M GT ran at
+            # ~0.5 GB/s vs the 1.3 GB/s upload bound on per-chunk overhead
+            gt_d, pos = streaming_topk_neighbors(
+                queries, store.concat_view(), K, metric=args.metric,
+                base_chunk=1 << 22)
+            gt_i = store.orig_ids(pos)
+        else:
+            gt_d, gt_i = streaming_topk_neighbors(queries, pts, K,
+                                                  metric=args.metric)
         np.savez(gt_path, ids=gt_i, dists=gt_d, queries=queries)
         t_gt = time.time() - t0
         _stamp(gt_path, t_gt)
@@ -249,11 +378,17 @@ def main(argv=None) -> int:
         rp, rl = r["rp"], r["rl"]
         t_router = _cached_time(rt_path)
     else:
-        rng = np.random.default_rng(args.seed + 1)
-        sub = np.sort(rng.choice(args.n, size=min(args.train_sample, args.n),
-                                 replace=False))
-        sub_pts = np.asarray(pts[sub], np.float32)
-        sub_clusters = partition_to_clusters(part[sub], args.shards)
+        if store is not None:
+            sub_pts, sub_lbl = store.sample(args.train_sample,
+                                            seed=args.seed + 1)
+            sub_clusters = partition_to_clusters(sub_lbl, args.shards)
+        else:
+            rng = np.random.default_rng(args.seed + 1)
+            sub = np.sort(rng.choice(args.n,
+                                     size=min(args.train_sample, args.n),
+                                     replace=False))
+            sub_pts = np.asarray(pts[sub], np.float32)
+            sub_clusters = partition_to_clusters(part[sub], args.shards)
         opts = KMeansTreeRouterOptions(num_centroids=32, budget=40_000)
         kmtr = KMeansTreeRouter(metric=args.metric).train(
             sub_pts, sub_clusters, opts, seed=args.seed)
@@ -265,10 +400,17 @@ def main(argv=None) -> int:
     if args.until == "router":
         return 0
 
-    clusters = partition_to_clusters(part, args.shards)
-    engine = StreamedShardEngine(pts, clusters, rp, rl,
-                                 metric=args.metric,
-                                 scan_mode=args.scan_mode)
+    if store is not None:
+        assert args.sub_nprobe == 0, \
+            "--sub-nprobe is a rows-layout knob (store is whole-shard)"
+        engine = StreamedShardEngine(None, None, rp, rl,
+                                     metric=args.metric,
+                                     scan_mode=args.scan_mode, store=store)
+    else:
+        clusters = partition_to_clusters(part, args.shards)
+        engine = StreamedShardEngine(pts, clusters, rp, rl,
+                                     metric=args.metric,
+                                     scan_mode=args.scan_mode)
 
     sub_np = args.sub_nprobe if args.sub_nprobe > 0 else None
     if sub_np is not None:

@@ -120,6 +120,73 @@ def streaming_kmeans(
     return np.asarray(centroids), assignment
 
 
+def admit_priority(target: np.ndarray, d_best: np.ndarray,
+                   room: np.ndarray):
+    """Vectorized distance-priority admission under per-part ``room``
+    (MUTATED in place). Returns ``(placed_local, placed_parts,
+    rest_local)`` — local indices into ``target`` of admitted points, their
+    parts, and the indices that could not be placed in their nearest open
+    part. The admission order (closest-first within each part) is the
+    Pyramid assignment rule, ``partitioning.cpp:305-356``."""
+    prio = np.argsort(d_best, kind="stable")
+    t_prio = target[prio]
+    by_t = np.argsort(t_prio, kind="stable")
+    final = prio[by_t]
+    t_fin = target[final]
+    within = np.arange(len(final)) - np.searchsorted(t_fin, t_fin)
+    ok = within < room[t_fin]
+    np.subtract.at(room, t_fin[ok], 1)
+    return final[ok], t_fin[ok], final[~ok]
+
+
+class RepSet:
+    """Padded device-resident representative set for nearest-OPEN-part
+    queries (shared by :func:`capacity_stream_assign` and the fused
+    relayout assigner, :mod:`gpann_tpu.search.relayout`)."""
+
+    def __init__(self, reps: np.ndarray, rep_labels: np.ndarray,
+                 metric: Metric = "l2") -> None:
+        reps = np.ascontiguousarray(reps, np.float32)
+        rep_labels = np.asarray(rep_labels, np.int64)
+        r = len(reps)
+        # pad reps to a lane multiple (stable compile shapes across slightly
+        # different aggregate counts); padding reps are permanently closed
+        r_pad = -(-r // 128) * 128
+        if r_pad != r:
+            reps = np.concatenate(
+                [reps, np.zeros((r_pad - r, reps.shape[1]), np.float32)]
+            )
+            rep_labels = np.concatenate(
+                [rep_labels, np.zeros(r_pad - r, np.int64)]
+            )
+        self.labels = rep_labels
+        self.valid = np.arange(r_pad) < r
+        self.rj = jnp.asarray(reps)
+        self.metric: Metric = metric
+        self.r_pad = r_pad
+
+    def max_chunk_rows(self, chunk_rows: int) -> int:
+        """Bound the masked-argmin's [m, r_pad] f32 HBM tile to ~4 GB
+        (measured: 1M x 4097 = 17.2 GB OOM'd a 16 GB v5e)."""
+        max_rows = max(65536, (1 << 30) // self.r_pad)
+        return min(chunk_rows, 1 << (max_rows.bit_length() - 1))
+
+    def nearest_open(self, chunk: np.ndarray, room: np.ndarray):
+        """(nearest open part, distance) per row; power-of-two row padding
+        keeps compiles O(log n) across ragged final chunks and shrinking
+        retry rounds."""
+        real = len(chunk)
+        m_pad = max(256, 1 << (real - 1).bit_length())
+        if m_pad != real:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], m_pad - real, axis=0)]
+            )
+        open_mask = jnp.asarray((room > 0)[self.labels] & self.valid)
+        tgt, db = _masked_nearest(jnp.asarray(chunk), self.rj, open_mask,
+                                  self.metric)
+        return self.labels[np.asarray(tgt)[:real]], np.asarray(db)[:real]
+
+
 def capacity_stream_assign(
     points,
     reps: np.ndarray,
@@ -141,68 +208,28 @@ def capacity_stream_assign(
     its part has room; total capacity k*cap >= n guarantees termination).
     """
     n = points.shape[0]
-    reps = np.ascontiguousarray(reps, np.float32)
-    rep_labels = np.asarray(rep_labels, np.int64)
-    r = len(reps)
-    # pad reps to a lane multiple (stable compile shapes across slightly
-    # different aggregate counts); padding reps are permanently closed
-    r_pad = -(-r // 128) * 128
-    if r_pad != r:
-        reps = np.concatenate(
-            [reps, np.zeros((r_pad - r, reps.shape[1]), np.float32)]
-        )
-        rep_labels = np.concatenate(
-            [rep_labels, np.zeros(r_pad - r, np.int64)]
-        )
-    valid_rep = np.arange(r_pad) < r
-    # the masked-argmin materializes an [m, r_pad] f32 tile in HBM: bound it
-    # to ~4 GB (measured: 1M x 4097 = 17.2 GB OOM'd a 16 GB v5e)
-    max_rows = max(65536, (1 << 30) // r_pad)  # ~4 GB after f32
-    chunk_rows = min(chunk_rows, 1 << (max_rows.bit_length() - 1))
+    rs = RepSet(reps, rep_labels, metric=metric)
+    chunk_rows = rs.max_chunk_rows(chunk_rows)
     cap = int((1.0 + eps) * np.ceil(n / k))
     room = np.full(k, cap, np.int64)
     part = np.full(n, -1, np.int32)
-    rj = jnp.asarray(reps)
 
     def admit(global_ids: np.ndarray, target: np.ndarray,
               d_best: np.ndarray) -> np.ndarray:
-        """Vectorized distance-priority admission under per-part room;
-        returns the ids that could not be placed in their nearest open part.
-        ``target`` is each point's nearest OPEN part (device-computed)."""
-        prio = np.argsort(d_best, kind="stable")
-        t_prio = target[prio]
-        by_t = np.argsort(t_prio, kind="stable")
-        final = prio[by_t]
-        t_fin = target[final]
-        within = np.arange(len(final)) - np.searchsorted(t_fin, t_fin)
-        ok = within < room[t_fin]
-        part[global_ids[final[ok]]] = t_fin[ok]
-        np.subtract.at(room, t_fin[ok], 1)
-        return global_ids[final[~ok]]
-
-    def nearest_open(chunk: np.ndarray):
-        """Device call with power-of-two row padding (compiles stay O(log n)
-        across the ragged final chunk and shrinking retry rounds)."""
-        real = len(chunk)
-        m_pad = max(256, 1 << (real - 1).bit_length())
-        if m_pad != real:
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], m_pad - real, axis=0)]
-            )
-        open_mask = jnp.asarray((room > 0)[rep_labels] & valid_rep)
-        tgt, db = _masked_nearest(jnp.asarray(chunk), rj, open_mask, metric)
-        return rep_labels[np.asarray(tgt)[:real]], np.asarray(db)[:real]
+        placed, pparts, rest = admit_priority(target, d_best, room)
+        part[global_ids[placed]] = pparts
+        return global_ids[rest]
 
     leftovers = []
     for s in range(0, n, chunk_rows):
         # keep source dtype: byte bases upload raw, widen on device
         chunk = np.asarray(points[s : s + chunk_rows])
-        tgt, db = nearest_open(chunk)
+        tgt, db = rs.nearest_open(chunk, room)
         rest = admit(np.arange(s, s + len(chunk)), tgt, db)
         leftovers.append(rest)
     rest = np.concatenate(leftovers) if leftovers else np.empty(0, np.int64)
     while len(rest):
-        tgt, db = nearest_open(np.asarray(points[rest]))
+        tgt, db = rs.nearest_open(np.asarray(points[rest]), room)
         rest = admit(rest, tgt, db)
     return part
 

@@ -150,6 +150,90 @@ def generate_queries(kind: str, nq: int, d: int, seed: int = 555,
     return q
 
 
+class VirtualPoints:
+    """Zero-disk array-like over the per-chunk-seeded generator.
+
+    A 1B x 96 u8 base is 96 GB on disk; since every chunk is regenerated
+    bit-identically from ``(seed, chunk_id)``, the base need not exist at
+    all — ``points[s:e]`` regenerates exactly the chunks the slice covers.
+    This is the 1B-scale stand-in for the reference's prefix-read of on-disk
+    big-ann files (``points_io.cpp:25-27``): every pipeline stage consumes
+    points via row slices (CLAUDE.md working rule), so a regenerating view
+    slots in wherever a memmap does.
+
+    ``iid_rows = True`` advertises that rows are exchangeable: a contiguous
+    prefix is distributionally identical to a uniform random subsample, so
+    samplers may take ``points[:ns]`` instead of fancy-indexing (which would
+    regenerate every chunk). Fancy indexing IS supported (retry rounds of
+    ``capacity_stream_assign`` use it) at a cost proportional to the number
+    of distinct chunks touched.
+    """
+
+    iid_rows = True
+
+    def __init__(self, kind: str, n: int, d: int, seed: int = 555,
+                 dtype: str = "f32", chunk_rows: int = 1 << 20) -> None:
+        self.kind, self.n, self.d, self.seed = kind, n, d, seed
+        self.dtype_name = dtype
+        self.chunk_rows = chunk_rows
+        self.params = make_params(kind, d, seed)
+        self.shape = (n, d)
+        self.dtype = np.dtype(
+            {"f32": np.float32, "u8": np.uint8, "i8": np.int8}[dtype])
+        self._cache_id: int = -1
+        self._cache: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return self.n
+
+    def _chunk(self, ci: int) -> np.ndarray:
+        if ci != self._cache_id:
+            m = min(self.chunk_rows, self.n - ci * self.chunk_rows)
+            self._cache = _quantize_chunk(
+                _gen_chunk(self.kind, m, self.d, self.seed, ci, self.params),
+                self.dtype_name,
+            )
+            self._cache_id = ci
+        return self._cache
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            rows = self[idx[0]]
+            return rows[(slice(None),) + tuple(idx[1:])]
+        if isinstance(idx, slice):
+            s, e, step = idx.indices(self.n)
+            if step != 1:
+                return self[np.arange(s, e, step)]
+            if s >= e:
+                return np.empty((0, self.d), self.dtype)
+            c0, c1 = s // self.chunk_rows, (e - 1) // self.chunk_rows
+            if c0 == c1:
+                base = c0 * self.chunk_rows
+                return self._chunk(c0)[s - base : e - base].copy()
+            parts = []
+            for ci in range(c0, c1 + 1):
+                base = ci * self.chunk_rows
+                lo = max(s, base) - base
+                hi = min(e, base + self.chunk_rows) - base
+                parts.append(self._chunk(ci)[lo:hi])
+            return np.concatenate(parts, axis=0)
+        idx = np.asarray(idx)
+        if idx.ndim == 0:
+            return self[int(idx) : int(idx) + 1][0]
+        # fancy index: regenerate each touched chunk once, in chunk order
+        out = np.empty((len(idx), self.d), self.dtype)
+        ci_of = idx // self.chunk_rows
+        order = np.argsort(ci_of, kind="stable")
+        sorted_ci = ci_of[order]
+        bounds = np.nonzero(np.diff(sorted_ci))[0] + 1
+        for grp in np.split(np.arange(len(idx)), bounds):
+            ci = int(sorted_ci[grp[0]])
+            chunk = self._chunk(ci)
+            sel = order[grp]
+            out[sel] = chunk[idx[sel] - ci * self.chunk_rows]
+        return out
+
+
 def dataset_cached(
     kind: str, n: int, d: int, seed: int = 555,
     cache_dir: Optional[str] = None,

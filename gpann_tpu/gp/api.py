@@ -31,8 +31,13 @@ def partition(
     metric: Metric = "l2",
     seed: int = 555,
     strong: bool = False,
+    routing_index_path: str = None,
 ) -> Clusters:
-    """Run a partitioning method by name; always returns Clusters."""
+    """Run a partitioning method by name; always returns Clusters.
+
+    ``routing_index_path``: where Pyramid/OurPyramid save their coarse
+    routing index (``partition.cpp:94,110`` saves it next to the partition;
+    the routing sweep later re-loads it, ``routes.cpp:287-311``)."""
     n = points.shape[0]
     if method == "GP" and overlap != 0.0:
         method = "OGP"  # partition.cpp:84-86
@@ -45,11 +50,13 @@ def partition(
         )
     if method == "Pyramid":
         return partition_to_clusters(
-            pt.pyramid_partitioning(points, k, eps, metric, seed), k
+            pt.pyramid_partitioning(points, k, eps, metric, seed,
+                                    routing_index_path=routing_index_path), k
         )
     if method == "OurPyramid":
         return partition_to_clusters(
-            pt.our_pyramid_partitioning(points, k, eps, metric=metric, seed=seed), k
+            pt.our_pyramid_partitioning(points, k, eps, metric=metric, seed=seed,
+                                        routing_index_path=routing_index_path), k
         )
     if method == "KMeans":
         return partition_to_clusters(

@@ -79,6 +79,56 @@ def gp_aggregates(
     return np.concatenate(reps, axis=0), np.concatenate(labels)
 
 
+def subsample_gp_aggregates(
+    points,                     # array-like / np.memmap [n, d]
+    k: int,
+    eps: float = 0.05,
+    metric: Metric = "l2",
+    seed: int = 555,
+    num_subsample: int = 2_000_000,
+    num_aggregate: int = 4096,
+    degree: int = 10,
+    strong: bool = False,
+):
+    """Steps 1-3 of the scaled GP pipeline (module docstring): subsample ->
+    GP on the subsample's kNN graph -> per-part aggregates. Returns
+    ``(aggregates, agg_labels, sample_idx, sub_part)``; feed the aggregates
+    to :func:`~gpann_tpu.cluster.streaming.capacity_stream_assign` (or the
+    fused relayout assigner,
+    :func:`~gpann_tpu.search.relayout.capacity_assign_to_store`).
+
+    A base advertising ``iid_rows`` (``eval/synth.py::VirtualPoints``) is
+    sampled by contiguous prefix — distributionally identical for
+    exchangeable rows, and O(ns) instead of a full regeneration pass.
+    """
+    from gpann_tpu.gp.partitioning import partition_dense_graph
+    from gpann_tpu.graph.knn import ApproximateKNNGraphBuilder
+
+    n = points.shape[0]
+    rng = np.random.default_rng(seed)
+    ns = min(num_subsample, n)
+    if ns == n:
+        sample_idx = np.arange(n)
+        sample = np.asarray(points, np.float32)
+    elif getattr(points, "iid_rows", False):
+        sample_idx = np.arange(ns)
+        sample = np.asarray(points[:ns], np.float32)
+    else:
+        sample_idx = np.sort(rng.choice(n, size=ns, replace=False))
+        sample = np.asarray(points[sample_idx], np.float32)
+
+    builder = ApproximateKNNGraphBuilder(metric=metric, seed=seed,
+                                         strong=strong)
+    graph = builder.build(sample, degree)
+    sub_part = partition_dense_graph(graph, k, eps, seed=seed)
+    del graph
+
+    aggregates, agg_labels = gp_aggregates(
+        sample, sub_part, k, num_aggregate, metric=metric, seed=seed
+    )
+    return aggregates, agg_labels, sample_idx, sub_part
+
+
 def subsample_gp_partition(
     points,                     # array-like / np.memmap [n, d]
     k: int,
@@ -100,30 +150,11 @@ def subsample_gp_partition(
     ``return_artifacts=True`` also returns ``(aggregates, agg_labels,
     sample_idx, sub_part)`` for router training / diagnostics.
     """
-    from gpann_tpu.gp.partitioning import partition_dense_graph
-    from gpann_tpu.graph.knn import ApproximateKNNGraphBuilder
-
-    n = points.shape[0]
-    rng = np.random.default_rng(seed)
-    ns = min(num_subsample, n)
-    if ns == n:
-        sample_idx = np.arange(n)
-        sample = np.asarray(points, np.float32)
-    else:
-        sample_idx = np.sort(rng.choice(n, size=ns, replace=False))
-        sample = np.asarray(points[sample_idx], np.float32)
-
-    builder = ApproximateKNNGraphBuilder(metric=metric, seed=seed,
-                                         strong=strong)
-    graph = builder.build(sample, degree)
-    sub_part = partition_dense_graph(graph, k, eps, seed=seed)
-    del graph
-
-    aggregates, agg_labels = gp_aggregates(
-        sample, sub_part, k, num_aggregate, metric=metric, seed=seed
+    aggregates, agg_labels, sample_idx, sub_part = subsample_gp_aggregates(
+        points, k, eps=eps, metric=metric, seed=seed,
+        num_subsample=num_subsample, num_aggregate=num_aggregate,
+        degree=degree, strong=strong,
     )
-    del sample
-
     part = capacity_stream_assign(
         points, aggregates, agg_labels, k, eps=eps, chunk_rows=chunk_rows,
         metric=metric,

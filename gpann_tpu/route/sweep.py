@@ -14,7 +14,7 @@ run_query_attribution.cpp:68-69).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -40,6 +40,44 @@ def default_budgets(n: int) -> List[int]:
     return out or [max(1, n // 2)]
 
 
+def iterate_flat_router_configs(
+    flat,
+    queries: np.ndarray,
+    index_trainer: str,
+    voting_neighbors: Sequence[int] = VOTING_NEIGHBORS,
+    timing_reps: int = 3,
+    extra_options: Optional[dict] = None,
+) -> List[RoutingConfig]:
+    """All 4 probe rules x voting-neighbor sweep over one flat (HNSW-role)
+    router — the reference's ``IterateHNSWRouterConfigs`` (routes.cpp:33-118),
+    reused for the Pyramid/OurPyramid saved side indices (routes.cpp:287-311)
+    via ``index_trainer`` = "Pyramid"/"OurPyramid+KNN"."""
+    out: List[RoutingConfig] = []
+    index_bytes = (np.asarray(flat.points).nbytes
+                   + np.asarray(flat.labels_np).nbytes)
+    for rule in HNSW_RULES:
+        for v in voting_neighbors:
+            if v > len(flat):
+                continue
+            t, probes = time_fn(flat.query, queries, v, rule,
+                                reps=timing_reps)
+            out.append(
+                RoutingConfig(
+                    index_trainer=index_trainer,
+                    routing_algorithm=rule,
+                    hnsw_num_voting_neighbors=v,
+                    routing_time=t,
+                    index_size_bytes=index_bytes,
+                    routing_index_options=dict(extra_options or {}),
+                    routing_distance_calcs=len(flat),
+                    try_increasing_num_shards=rule not in ("pyramid",
+                                                           "spann"),
+                    buckets_to_probe=np.asarray(probes, np.int32),
+                )
+            )
+    return out
+
+
 def iterate_routing_configs(
     points: np.ndarray,
     queries: np.ndarray,
@@ -52,7 +90,14 @@ def iterate_routing_configs(
     voting_neighbors: Sequence[int] = VOTING_NEIGHBORS,
     include_random: bool = True,
     timing_reps: int = 3,
+    pyramid_index=None,
+    our_pyramid_index=None,
 ) -> List[RoutingConfig]:
+    """``pyramid_index`` / ``our_pyramid_index``: optional
+    :class:`~gpann_tpu.route.flat.FlatRouter` side indices saved by the
+    Pyramid/OurPyramid partitioners — swept through the same 4-rule x voting
+    grid with ``index_trainer`` "Pyramid"/"OurPyramid+KNN"
+    (routes.cpp:287-311)."""
     num_shards = len(clusters)
     out: List[RoutingConfig] = []
 
@@ -108,27 +153,10 @@ def iterate_routing_configs(
                 )
             )
         # flat (HNSW-role) router: 4 rules x voting sweep (routes.cpp:33-118)
-        for rule in HNSW_RULES:
-            for v in voting_neighbors:
-                if v > len(flat):
-                    continue
-                t, probes = time_fn(
-                    flat.query, queries, v, rule, reps=timing_reps
-                )
-                out.append(
-                    RoutingConfig(
-                        index_trainer="Flat",
-                        routing_algorithm=rule,
-                        hnsw_num_voting_neighbors=v,
-                        routing_time=t,
-                        index_size_bytes=index_bytes,
-                        routing_index_options={"budget": int(budget)},
-                        routing_distance_calcs=len(flat),
-                        # pyramid/spann rules cut lists short: no extra shards
-                        try_increasing_num_shards=rule not in ("pyramid", "spann"),
-                        buckets_to_probe=np.asarray(probes, np.int32),
-                    )
-                )
+        out.extend(iterate_flat_router_configs(
+            flat, queries, "Flat", voting_neighbors=voting_neighbors,
+            timing_reps=timing_reps, extra_options={"budget": int(budget)},
+        ))
 
     if include_random:  # routes.cpp:269-285
         rng = np.random.default_rng(seed)
@@ -143,4 +171,16 @@ def iterate_routing_configs(
                 buckets_to_probe=probes,
             )
         )
+
+    # saved Pyramid/OurPyramid side indices (routes.cpp:287-311)
+    if pyramid_index is not None:
+        out.extend(iterate_flat_router_configs(
+            pyramid_index, queries, "Pyramid",
+            voting_neighbors=voting_neighbors, timing_reps=timing_reps,
+        ))
+    if our_pyramid_index is not None:
+        out.extend(iterate_flat_router_configs(
+            our_pyramid_index, queries, "OurPyramid+KNN",
+            voting_neighbors=voting_neighbors, timing_reps=timing_reps,
+        ))
     return out

@@ -76,24 +76,36 @@ class StreamedShardEngine:
     def __init__(
         self,
         points,                       # array-like / np.memmap [n, d]
-        clusters: Clusters,
+        clusters: Optional[Clusters],
         routing_points: np.ndarray,
         routing_labels: np.ndarray,
         metric: Metric = "l2",
         precision=None,
         scan_mode: str = "binned",
         voting_impl: str = "exact",
+        store=None,
     ) -> None:
+        """``store``: a :class:`~gpann_tpu.search.relayout.ShardMajorStore`.
+        When given, ``points``/``clusters`` may be None — each shard reads
+        as ONE contiguous memmap slice (the reference's re-layout,
+        ``inverted_index.h:20-41``) instead of fancy-indexing scattered rows
+        out of a chunk-ordered base (measured ~100x slower at 250M)."""
         self.points = points
+        self.store = store
         self.metric: Metric = metric
         self.precision = default_precision() if precision is None else precision
         self.scan_mode = scan_mode
         self.voting_impl = voting_impl
-        self.num_shards = len(clusters)
-        self.clusters: List[np.ndarray] = [
-            np.asarray(c, np.int64) for c in clusters
-        ]
-        self.max_size = max((len(c) for c in self.clusters), default=1)
+        if store is not None:
+            self.num_shards = store.num_shards
+            self.clusters = None
+            self.max_size = int(store.sizes.max()) if len(store.sizes) else 1
+        else:
+            self.num_shards = len(clusters)
+            self.clusters: List[np.ndarray] = [
+                np.asarray(c, np.int64) for c in clusters
+            ]
+            self.max_size = max((len(c) for c in self.clusters), default=1)
         if scan_mode == "binned":
             from gpann_tpu.search.pallas_scan import BIN  # noqa: F401
 
@@ -339,15 +351,27 @@ class StreamedShardEngine:
         import gc as _gc
 
         use_subs = sub_nprobe is not None and self.sub_members is not None
+        if use_subs and self.store is not None:
+            raise NotImplementedError(
+                "sub-cluster pruning on a ShardMajorStore: relayout the "
+                "store sub-cluster-major instead")
         for b in range(lo, hi):
-            members = self.clusters[b]
+            if self.store is not None:
+                members = self.store.shard_ids(b)
+            else:
+                members = self.clusters[b]
             if len(members) == 0:
                 continue
             qidx, slot = np.nonzero(probes == b)
             if len(qidx) == 0:
                 continue
             t0 = time.time()
-            if use_subs and len(self.sub_members[b]) > sub_nprobe:
+            if self.store is not None:
+                # shard-major layout: ONE contiguous memmap slice — the
+                # reference's streaming read of owned ranges
+                # (distributed_query_benchmark.h:48-84)
+                rows = self.store.shard_rows(b)
+            elif use_subs and len(self.sub_members[b]) > sub_nprobe:
                 # in-shard pruning: gather/upload ONLY the union of each
                 # probing query's sub_nprobe closest sub-clusters (the
                 # TwoLevelIVF knob applied to the streamed path). Host-side
@@ -385,7 +409,12 @@ class StreamedShardEngine:
                                       cap=cap_b)
             stats["scan_s"] += time.time() - t0
             stats["shards_scanned"] += 1
-            stats["bytes_uploaded"] += rows.nbytes + qb.nbytes
+            # count the PADDED device block (what actually crosses the
+            # tunnel): _scan_shard zero-pads rows to the cap-sized block
+            # (pow2-bucketed on the pruned path, up to ~2x the raw rows)
+            up_cap = cap_b if cap_b is not None else self.capacity
+            stats["bytes_uploaded"] += (
+                up_cap * rows.shape[1] * rows.dtype.itemsize + qb.nbytes)
             kk = min(k, len(members))
             dk = d[:mq, :kk]
             tab_d[qidx, slot, :kk] = dk

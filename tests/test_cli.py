@@ -150,7 +150,7 @@ def test_scale_bench_isolate_stages_cli(tmp_path):
          "--gp-aggregates", "64", "--train-sample", "2000",
          "--scan-mode", "exact", "--sub-nprobe", "2", "--sub-size", "256",
          "--isolate-stages", "--shard-chunk", "4", "--out", str(out)],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=900, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     # all four stage children ran

@@ -150,3 +150,38 @@ class TestSweeps:
             rtol=1e-6,
         )
         np.testing.assert_array_equal(sback[0].hits[0][0], searches[0].hits[0][0])
+
+
+def test_pyramid_side_index_sweep(setup, tmp_path):
+    """routes.cpp:287-311: the routing indices saved by the Pyramid /
+    OurPyramid partitioners are swept through the same 4-rule x voting grid
+    with index_trainer "Pyramid"/"OurPyramid+KNN" rows (C11 closure)."""
+    pts, q, gt_ids, gt_dists, clusters = setup
+    from gpann_tpu.route.flat import FlatRouter, centroid_router
+
+    side = centroid_router(pts, clusters)
+    p = tmp_path / "side.npz"
+    side.save(str(p))
+    side2 = FlatRouter.load(str(p))  # the CLI path loads from disk
+
+    routes = iterate_routing_configs(
+        pts, q, clusters, budgets=[500], voting_neighbors=(4,),
+        timing_reps=1, include_random=False,
+        pyramid_index=side2, our_pyramid_index=side2,
+    )
+    trainers = {r.index_trainer for r in routes}
+    assert {"Pyramid", "OurPyramid+KNN"} <= trainers
+    pyr = [r for r in routes if r.index_trainer == "Pyramid"]
+    assert {r.routing_algorithm for r in pyr} == {
+        "min_dist", "pyramid", "spann", "frequency"}
+    for r in pyr:
+        assert r.buckets_to_probe.shape[0] == len(q)
+        assert r.routing_distance_calcs == len(side2)
+    # the rows flow through the combiner with the new trainer names
+    searches = run_in_shard_searches(
+        pts, q, clusters, kth_neighbor_distance(gt_dists, 10), 10,
+        sub_nprobe_sweep=(8,), timing_reps=1, target_sub_size=256,
+    )
+    rows = combine_routes_and_searches(routes, searches, len(q), 4, 4, 10)
+    assert any(",Pyramid," in r or r.startswith("Pyramid") or
+               "Pyramid" in r.split(",")[3] for r in rows)
