@@ -308,13 +308,33 @@ def capacity_assign_to_store(
 
     starts = list(range(0, n, chunk_rows))
     done_in_call = 0
+
+    # prefetch thread: chunk regeneration (a VirtualPoints base costs ~1.3 s
+    # of host RNG per chunk — the pass's critical path) overlaps the device
+    # assignment + shard-file writes of the previous chunk. Only the
+    # producer touches `points`; consumption is strictly in ci order.
+    import queue as _queue
+    import threading as _threading
+
+    feed: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _producer(begin: int) -> None:
+        for ci in range(begin, len(starts)):
+            s = starts[ci]
+            feed.put((ci, np.asarray(points[s : min(s + chunk_rows, n)])))
+        feed.put(None)
+
+    _threading.Thread(target=_producer, args=(next_chunk,),
+                      daemon=True).start()
     for ci in range(next_chunk, len(starts)):
         if max_chunks is not None and done_in_call >= max_chunks:
             save_ckpt(ci)
-            return False
+            return False  # daemon producer dies with the process
+        got = feed.get()
+        assert got is not None and got[0] == ci, (got and got[0], ci)
+        chunk = got[1]
         s = starts[ci]
         e = min(s + chunk_rows, n)
-        chunk = np.asarray(points[s:e])
         tgt, db = rs.nearest_open(chunk, room)
         placed, pparts, rest = admit_priority(tgt, db, room)
         gids = np.arange(s, e, dtype=np.int64)
