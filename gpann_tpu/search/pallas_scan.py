@@ -339,7 +339,7 @@ def _bintop2_blocks_kernel(q_ref, row_off_ref, sizes_ref, b_hbm, mn1_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "qb", "cap", "num_candidate_bins",
-                     "interpret", "tq", "tc"),
+                     "interpret", "tq", "tc", "phase2"),
 )
 def fused_topk_blocks(
     queries_blocks: jnp.ndarray,   # [nb*qb, d] block-major query rows
@@ -356,6 +356,7 @@ def fused_topk_blocks(
     interpret: bool = False,
     tq: int = 128,
     tc: int = 16384,
+    phase2: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-block top-k: block ``b``'s ``qb`` query rows are scanned against
     base rows ``[row_off[b], row_off[b]+cap)`` (live prefix ``sizes[b]``).
@@ -363,6 +364,13 @@ def fused_topk_blocks(
     Returns (dists [nb*qb, k], LOCAL row ids [nb*qb, k]). One pallas_call +
     one batched phase-2/rescore for the entire block list — the serving
     engine's whole scan stage in a single compiled dispatch.
+
+    ``phase2``: how the nc candidate bins are picked from the [total, 2L]
+    bin summaries. "exact" = ``lax.top_k`` (sorting network; at serving
+    shapes [8k x 4096] this was measured as a double-digit-ms share of the
+    batch). "approx" = ``lax.approx_max_k`` (TPU partial-reduction top-k) —
+    the same approximate-candidate design point as the bin top-2 epilogue
+    itself; the exact f32 rescore then orders the survivors.
     """
     nb = row_off.shape[0]
     total = queries_blocks.shape[0]
@@ -419,7 +427,10 @@ def fused_topk_blocks(
     mins = jnp.concatenate([mn1, mn2], axis=1)
     argmins = jnp.concatenate([am1, am2], axis=1)
     nc = min(nc, mins.shape[1])
-    negb, bpos = jax.lax.top_k(-mins, nc)
+    if phase2 == "approx" and nc < mins.shape[1]:
+        negb, bpos = jax.lax.approx_max_k(-mins, nc, recall_target=0.95)
+    else:
+        negb, bpos = jax.lax.top_k(-mins, nc)
     cand_local = jnp.take_along_axis(argmins, bpos, axis=1)
     row_off_rows = jnp.repeat(
         jnp.asarray(row_off, jnp.int32), qb, total_repeat_length=total

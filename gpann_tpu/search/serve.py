@@ -140,6 +140,7 @@ class ServingEngine:
         scan_mode: str = "exact",
         interpret: bool = False,
         voting_impl: str = "exact",
+        scan_phase2: str = "exact",
     ) -> None:
         """``scan_mode``: "exact" = XLA top_k over the full distance tile
         (exact in-shard top-k); "binned" = Pallas bin-top-2 kernel
@@ -149,6 +150,10 @@ class ServingEngine:
         ``lax.approx_max_k`` (TPU partial-reduction top-k) — faster routing
         with an approximate vote set, mirroring the reference's approximate
         HNSW vote set (hnsw_router.h:106).
+
+        ``scan_phase2``: candidate-bin selection after the binned kernel
+        ("exact" `lax.top_k` / "approx" `lax.approx_max_k`); see
+        :func:`gpann_tpu.search.pallas_scan.fused_topk_blocks`.
         """
         self.metric: Metric = metric
         self.precision = default_precision() if precision is None else precision
@@ -156,6 +161,7 @@ class ServingEngine:
         self.scan_mode = scan_mode
         self.interpret = interpret
         self.voting_impl = voting_impl
+        self.scan_phase2 = scan_phase2
         self.num_shards = len(clusters)
         sizes = np.asarray([len(c) for c in clusters], np.int32)
         all_ids = (
@@ -223,6 +229,7 @@ class ServingEngine:
                 scan_mode = "exact"
 
         voting_impl = self.voting_impl
+        scan_phase2 = self.scan_phase2
         dim_pad = self.dim_pad
 
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
@@ -300,6 +307,7 @@ class ServingEngine:
                 bd, lpos = fused_topk_blocks(
                     qrows, shard_points, row_off, sizes_blk, k, metric,
                     qb=qb, cap=cap, tq=tq_eff, interpret=interpret,
+                    phase2=scan_phase2,
                 )
                 row_off_rows = jnp.repeat(
                     row_off, qb, total_repeat_length=total

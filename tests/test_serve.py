@@ -164,6 +164,15 @@ def test_serve_binned_mode_large_shards():
     _, fi = binned.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
     rec = recall_from_ids(pts, q, fi, kth, 10)
     assert rec > 0.97, rec
+    # phase2="approx" (partial-reduction candidate-bin top-k) must match
+    # the exact phase-2 selection within the same recall envelope
+    approx = ServingEngine(
+        pts, clusters, np.asarray(router.points), router.labels_np,
+        scan_mode="binned", interpret=True, scan_phase2="approx",
+    )
+    _, fa = approx.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
+    rec_a = recall_from_ids(pts, q, fa, kth, 10)
+    assert rec_a > 0.97, rec_a
 
 
 def test_serve_overlapping_dedup():
