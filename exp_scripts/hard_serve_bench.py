@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 N, D, NQ, SHARDS, K = 8_000_000, 96, 4096, 32, 10
+if os.environ.get("GPANN_SMOKE"):  # tiny CPU smoke test of the driver logic
+    N, D, NQ, SHARDS = 40_000, 16, 128, 4
 TARGET = 0.95
 SEED = 555
 VOTING_T = 60       # hard routes are ambiguous; blobs' T=32 is too few here
@@ -59,16 +61,22 @@ def main() -> int:
     dirty = False
 
     if "gt_ids" not in art:
-        from gpann_tpu.eval.recall import verify_ground_truth
-        from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
+        if os.environ.get("GPANN_SMOKE"):  # no pallas on the CPU backend
+            from gpann_tpu.eval.recall import compute_ground_truth
 
-        padded0, nv0 = pad_base_for_scan(pts, "l2")
-        pj0 = jnp.asarray(padded0)
-        gt_raw = np.asarray(fused_topk(jnp.asarray(q), pj0, nv0, 2 * K)[1])
-        gt_ids, gt_dists = verify_ground_truth(
-            pts, q, gt_raw.astype(np.int64), np.full(gt_raw.shape, np.nan))
-        art["gt_ids"], art["gt_dists"] = gt_ids[:, :K], gt_dists[:, :K]
-        del pj0, padded0
+            gt_ids, gt_dists = compute_ground_truth(pts, q, K)
+            art["gt_ids"], art["gt_dists"] = gt_ids, gt_dists
+        else:
+            from gpann_tpu.eval.recall import verify_ground_truth
+            from gpann_tpu.search.pallas_scan import fused_topk, pad_base_for_scan
+
+            padded0, nv0 = pad_base_for_scan(pts, "l2")
+            pj0 = jnp.asarray(padded0)
+            gt_raw = np.asarray(fused_topk(jnp.asarray(q), pj0, nv0, 2 * K)[1])
+            gt_ids, gt_dists = verify_ground_truth(
+                pts, q, gt_raw.astype(np.int64), np.full(gt_raw.shape, np.nan))
+            art["gt_ids"], art["gt_dists"] = gt_ids[:, :K], gt_dists[:, :K]
+            del pj0, padded0
         dirty = True
         log("ground truth computed")
     if "assign" not in art:
@@ -86,7 +94,7 @@ def main() -> int:
 
     if "routing_points" not in art:
         rng = np.random.default_rng(SEED + 1)
-        sub = np.sort(rng.choice(N, size=2_000_000, replace=False))
+        sub = np.sort(rng.choice(N, size=min(2_000_000, N // 2), replace=False))
         sub_pts = np.asarray(pts[sub], np.float32)
         sub_clusters = partition_to_clusters(art["assign"][sub], SHARDS)
         # bigger router than the blobs bench (10k): hard boundaries need
@@ -105,7 +113,8 @@ def main() -> int:
 
     engine = ServingEngine(
         pts, clusters, art["routing_points"], art["routing_labels"],
-        scan_mode="binned", voting_impl="approx")
+        scan_mode="binned", voting_impl="approx",
+        interpret=bool(os.environ.get("GPANN_SMOKE")))
     log("engine resident")
 
     if "nprobes" not in art:
