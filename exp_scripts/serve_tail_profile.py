@@ -24,11 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 N, D, NQ, SHARDS, K = 8_000_000, 96, 4096, 32, 10
+SMOKE = bool(os.environ.get("GPANN_SMOKE"))
+if SMOKE:  # tiny CPU check of the NumPy grouping replication + timings glue
+    N, D, NQ, SHARDS = 40_000, 16, 128, 2
 SEED = 555
 VOTING_T = 32
 RULE = "min_dist"
 QB = 128
-WINDOW = 32
+WINDOW = 4 if SMOKE else 32
 
 _T0 = time.time()
 
@@ -61,12 +64,29 @@ def main() -> int:
     pts_cache = os.path.join(cache_dir, f"bench_pts_{SEED}_{N}_{D}_{NQ}.npy")
     q_cache = os.path.join(cache_dir, f"bench_q_{SEED}_{N}_{D}_{NQ}.npy")
     cache = os.path.join(cache_dir, f"bench_{SEED}_{N}_{D}_{NQ}_{SHARDS}_gp.npz")
-    if not (os.path.exists(cache) and os.path.exists(pts_cache)):
+    if SMOKE:
+        from gpann_tpu.eval.recall import compute_ground_truth
+        from gpann_tpu.gp.partitioning import flat_kmeans_partitioning
+
+        rng = np.random.default_rng(SEED)
+        centers = rng.standard_normal((8, D)).astype(np.float32) * 2.0
+        pts = (centers[rng.integers(0, 8, size=N)]
+               + 0.6 * rng.standard_normal((N, D))).astype(np.float32)
+        q = (centers[rng.integers(0, 8, size=NQ)]
+             + 0.6 * rng.standard_normal((NQ, D))).astype(np.float32)
+        assign = flat_kmeans_partitioning(pts, SHARDS, seed=SEED)
+        gt_ids, gt_dists = compute_ground_truth(pts, q, K)
+        sub = np.sort(rng.choice(N, 4000, replace=False))
+        art = {"assign": assign, "gt_ids": gt_ids, "gt_dists": gt_dists,
+               "routing_points": pts[sub],
+               "routing_labels": assign[sub], "nprobes": np.int64(2)}
+    elif not (os.path.exists(cache) and os.path.exists(pts_cache)):
         print("bench cache missing — run bench.py first", file=sys.stderr)
         return 1
-    pts = np.load(pts_cache, mmap_mode="r")
-    q = np.load(q_cache)
-    art = dict(np.load(cache))
+    else:
+        pts = np.load(pts_cache, mmap_mode="r")
+        q = np.load(q_cache)
+        art = dict(np.load(cache))
     nprobes = int(art["nprobes"])
     kth = kth_neighbor_distance(art["gt_dists"], K)
     clusters = partition_to_clusters(art["assign"], SHARDS)
@@ -88,7 +108,8 @@ def main() -> int:
     for p2 in ("exact", "approx"):
         eng = ServingEngine(
             pts, clusters, art["routing_points"], art["routing_labels"],
-            scan_mode="binned", voting_impl="approx", scan_phase2=p2)
+            scan_mode="binned", voting_impl="approx", scan_phase2=p2,
+            interpret=SMOKE)
         engines[p2] = eng
         # recall parity at the measured config
         _, i0 = eng.serve(q_dev, K, nprobes, voting_t=VOTING_T, rule=RULE,
@@ -171,22 +192,24 @@ def main() -> int:
     results["num_blocks"] = nb
     results["num_padding_blocks"] = n_pad_blocks
 
-    for p2 in ("exact", "approx"):
-        def scanfn(p2=p2):
-            def once(qr):
-                bd, _ = fused_topk_blocks(
-                    qr, eng.shard_points, row_off, sizes_blk, K, "l2",
-                    qb=QB, cap=cap, tq=min(QB, 256), phase2=p2)
-                return bd
-
+    def make_scan_window(p2):
+        @jax.jit
+        def win(qr, sp, ro, sz):
             def body(c, _):
-                return c, once(qrows)
+                bd, _ = fused_topk_blocks(
+                    qr, sp, ro, sz, K, "l2",
+                    qb=QB, cap=cap, tq=min(QB, 256), phase2=p2,
+                    interpret=SMOKE)
+                return c, bd
 
-            return jax.jit(
-                lambda: jax.lax.scan(body, 0, jnp.arange(WINDOW))[1])()
+            return jax.lax.scan(body, 0, jnp.arange(WINDOW))[1]
 
+        return win
+
+    for p2 in ("exact", "approx"):
+        win = make_scan_window(p2)
         lat_k, _ = window_time(
-            lambda p2=p2: scanfn(p2),
+            lambda: win(qrows, eng.shard_points, row_off, sizes_blk),
             lambda o: float(jnp.sum(jnp.where(jnp.isfinite(o), o, 0.0))))
         results[f"scan_phase2_{p2}_ms"] = round(lat_k * 1e3, 2)
         log(f"kernel+phase2[{p2}]: {lat_k*1e3:.2f} ms/batch")
