@@ -51,37 +51,6 @@ def probes_at(curve, target):
     return int(ok[0] + 1) if len(ok) else len(curve)
 
 
-def overlap_candidates(pts, reps, rep_label, member_cluster, kc, keep,
-                       block=262144):
-    """Per point: its `keep` best FOREIGN clusters under MIPS, scored by
-    max-dot against each cluster's representatives — computed blocked on
-    device (scatter-max fold + top-k), tiny readback per block.
-
-    Returns (dists [n, keep] as 1-dot, clusters [n, keep] int32)."""
-    import jax
-    import jax.numpy as jnp
-
-    reps_j = jnp.asarray(reps, jnp.float32)
-    lbl_j = jnp.asarray(rep_label, jnp.int32)
-    n = pts.shape[0]
-    out_d = np.empty((n, keep), np.float32)
-    out_c = np.empty((n, keep), np.int32)
-    for s in range(0, n, block):
-        p = jnp.asarray(np.asarray(pts[s:s + block], np.float32))
-        own = jnp.asarray(member_cluster[s:s + block], jnp.int32)
-        dots = jnp.dot(p, reps_j.T, preferred_element_type=jnp.float32)
-        best = jnp.full((p.shape[0], kc), -jnp.inf).at[
-            jnp.arange(p.shape[0])[:, None],
-            jnp.broadcast_to(lbl_j[None, :], dots.shape)
-        ].max(dots)
-        # own cluster out of the running
-        best = best.at[jnp.arange(p.shape[0]), own].set(-jnp.inf)
-        negd, cl = jax.lax.top_k(best, keep)
-        out_d[s:s + block] = 1.0 - np.asarray(negd)
-        out_c[s:s + block] = np.asarray(cl)
-    return out_d, out_c
-
-
 def main() -> int:
     import jax.numpy as jnp
 
@@ -140,51 +109,23 @@ def main() -> int:
     if "extra_cluster" not in art:
         # overlap assignments: aggs as cluster representatives (same objects
         # the capacity assignment routed with), cheapest-first admission
+        from gpann_tpu.gp.overlap import centroid_overlap_streamed
+
         t0 = time.time()
-        od, oc = overlap_candidates(
-            pts, art["aggs"], art["agg_lbl"], assign, SHARDS, KEEP)
-        flat_p = np.repeat(np.arange(N, dtype=np.int64), KEEP)
-        flat_c = oc.reshape(-1)
-        flat_d = od.reshape(-1)
-        order = np.argsort(flat_d, kind="stable")
         cap2 = int((1.0 + 0.05) * (1.0 + OVERLAP) * N / SHARDS)
-        sizes = np.bincount(assign, minlength=SHARDS).astype(np.int64)
-        num_extra = int(OVERLAP * N)
-        # vectorized capacity admission: process in distance order, admit
-        # while cluster below cap2 (chunked cumulative count per cluster)
-        chosen_p, chosen_c = [], []
-        left = num_extra
-        for s in range(0, len(order), 4_000_000):
-            sl = order[s:s + 4_000_000]
-            cs, ps = flat_c[sl], flat_p[sl]
-            # within-chunk per-cluster running rank
-            o2 = np.argsort(cs, kind="stable")
-            cs_s, ps_s = cs[o2], ps[o2]
-            first = np.searchsorted(cs_s, np.arange(SHARDS), side="left")
-            rank = np.arange(len(cs_s)) - first[cs_s]
-            admit = rank < np.maximum(cap2 - sizes, 0)[cs_s]
-            ps_a, cs_a = ps_s[admit], cs_s[admit]
-            if len(ps_a) > left:
-                keep_ix = np.argsort(o2[admit], kind="stable")[:left]
-                ps_a, cs_a = ps_a[keep_ix], cs_a[keep_ix]
-            chosen_p.append(ps_a)
-            chosen_c.append(cs_a)
-            np.add.at(sizes, cs_a, 1)
-            left -= len(ps_a)
-            if left <= 0:
-                break
-        art["extra_point"] = np.concatenate(chosen_p)
-        art["extra_cluster"] = np.concatenate(chosen_c)
+        ep, ec = centroid_overlap_streamed(
+            pts, assign, art["aggs"], art["agg_lbl"], SHARDS, cap2,
+            int(OVERLAP * N), keep=KEEP, metric="mips")
+        art["extra_point"], art["extra_cluster"] = ep, ec
         art["overlap_build_s"] = np.float64(time.time() - t0)
         np.savez(cache, **art)
         log(f"overlap picked {len(art['extra_point'])} extras in "
             f"{float(art['overlap_build_s']):.0f}s")
 
-    cover = [
-        np.concatenate([c, art["extra_point"][art["extra_cluster"] == b]])
-        .astype(np.int32)
-        for b, c in enumerate(clusters)
-    ]
+    from gpann_tpu.gp.overlap import apply_extra_assignments
+
+    cover = apply_extra_assignments(clusters, art["extra_point"],
+                                    art["extra_cluster"])
 
     out = {"overlap": OVERLAP, "num_extra": int(len(art["extra_point"]))}
     for name, cl in (("gp", clusters), ("gp_overlap", cover)):

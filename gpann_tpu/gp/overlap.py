@@ -14,6 +14,12 @@ Reference parity: ``src/overlapping_partitioning.cpp``.
   globally by distance and admit greedily under capacity.
 - :func:`overlapping_kmeans_partitioning_spann` (``:229-235``): wrapper
   applying the centroid method on top of any base partition.
+- :func:`centroid_overlap_streamed`: the beyond-HBM form of the centroid
+  method — blocked device scoring (per-point best foreign clusters via a
+  representatives matmul + scatter fold + top-k, id-scale readback only)
+  and chunked cheapest-first capacity admission. ``make_overlapping_with_
+  centroids`` materializes an [n, num_reps] vote matrix on device; this one
+  holds [block, num_reps] at a time, so 8M+ bases fit.
 
 The affinity computation vectorizes the reference's per-thread RatingMap
 (``:15-48``) into one scatter-add; admission keeps the same
@@ -177,3 +183,127 @@ def overlapping_kmeans_partitioning_spann(
     return make_overlapping_with_centroids(
         points, clusters, max_cluster_size, num_extra, metric=metric, seed=seed
     )
+
+
+def foreign_cluster_candidates(
+    points,                      # array-like [n, d] (memmap/virtual ok)
+    assign: Partition,           # [n] base cluster of each point
+    reps: np.ndarray,            # [r, d] cluster representatives
+    rep_labels: np.ndarray,      # [r] cluster of each representative
+    num_clusters: int,
+    keep: int = 5,
+    metric: Metric = "l2",
+    block: int = 262144,
+):
+    """Each point's ``keep`` best FOREIGN clusters, scored like the
+    reference's centroid method (closest representative per cluster,
+    overlapping_partitioning.cpp:174-189) but computed blocked on device:
+    one [block, r] distance matmul -> scatter-min fold per cluster ->
+    top-k, with only [n, keep] (dist, cluster) read back — id-scale D2H.
+
+    Returns (dists [n, keep] float32, clusters [n, keep] int32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpann_tpu.core.distances import default_precision, sq_norms
+
+    reps_j = jnp.asarray(reps, jnp.float32)
+    lbl_j = jnp.asarray(np.asarray(rep_labels), jnp.int32)
+    rsq = jnp.asarray(
+        (np.asarray(reps, np.float64) ** 2).sum(1).astype(np.float32))
+    n = points.shape[0]
+    keep = min(keep, num_clusters - 1)
+    out_d = np.empty((n, keep), np.float32)
+    out_c = np.empty((n, keep), np.int32)
+
+    @jax.jit
+    def score(p, own):
+        dots = jnp.dot(p, reps_j.T, preferred_element_type=jnp.float32,
+                       precision=default_precision())
+        if metric == "mips":
+            dm = 1.0 - dots
+        else:
+            dm = sq_norms(p)[:, None] + rsq[None, :] - 2.0 * dots
+        m = p.shape[0]
+        best = jnp.full((m, num_clusters), jnp.inf).at[
+            jnp.arange(m)[:, None],
+            jnp.broadcast_to(lbl_j[None, :], dm.shape)
+        ].min(dm)
+        best = best.at[jnp.arange(m), own].set(jnp.inf)
+        neg, cl = jax.lax.top_k(-best, keep)
+        return -neg, cl
+
+    for s in range(0, n, block):
+        p = jnp.asarray(np.asarray(points[s:s + block], np.float32))
+        own = jnp.asarray(np.asarray(assign[s:s + block]), jnp.int32)
+        d, c = score(p, own)
+        out_d[s:s + block] = np.asarray(d)
+        out_c[s:s + block] = np.asarray(c)
+    return out_d, out_c
+
+
+def centroid_overlap_streamed(
+    points,
+    assign: Partition,
+    reps: np.ndarray,
+    rep_labels: np.ndarray,
+    num_clusters: int,
+    max_cluster_size: int,
+    num_extra_assignments: int,
+    keep: int = 5,
+    metric: Metric = "l2",
+    block: int = 262144,
+    admit_chunk: int = 4_000_000,
+):
+    """Beyond-HBM centroid-ranked overlap: global cheapest-first admission
+    under per-cluster capacity (overlapping_partitioning.cpp:190-216
+    semantics; admission is exact within each ``admit_chunk`` of the global
+    distance order and capacity-consistent across chunks).
+
+    Returns ``(extra_points [e], extra_clusters [e])`` — apply with
+    :func:`apply_extra_assignments`."""
+    assign = np.asarray(assign)
+    od, oc = foreign_cluster_candidates(
+        points, assign, reps, rep_labels, num_clusters, keep=keep,
+        metric=metric, block=block)
+    keep_eff = od.shape[1]
+    flat_p = np.repeat(np.arange(points.shape[0], dtype=np.int64), keep_eff)
+    flat_c = oc.reshape(-1)
+    flat_d = od.reshape(-1)
+    order = np.argsort(flat_d, kind="stable")
+    sizes = np.bincount(assign, minlength=num_clusters).astype(np.int64)
+    chosen_p, chosen_c = [], []
+    left = int(num_extra_assignments)
+    for s in range(0, len(order), admit_chunk):
+        sl = order[s:s + admit_chunk]
+        cs, ps = flat_c[sl], flat_p[sl]
+        o2 = np.argsort(cs, kind="stable")
+        cs_s, ps_s = cs[o2], ps[o2]
+        first = np.searchsorted(cs_s, np.arange(num_clusters), side="left")
+        rank = np.arange(len(cs_s)) - first[cs_s]
+        admit = rank < np.maximum(max_cluster_size - sizes, 0)[cs_s]
+        ps_a, cs_a = ps_s[admit], cs_s[admit]
+        if len(ps_a) > left:
+            keep_ix = np.argsort(o2[admit], kind="stable")[:left]
+            ps_a, cs_a = ps_a[keep_ix], cs_a[keep_ix]
+        chosen_p.append(ps_a)
+        chosen_c.append(cs_a)
+        np.add.at(sizes, cs_a, 1)
+        left -= len(ps_a)
+        if left <= 0:
+            break
+    if not chosen_p:
+        return (np.empty(0, np.int64), np.empty(0, np.int32))
+    return np.concatenate(chosen_p), np.concatenate(chosen_c)
+
+
+def apply_extra_assignments(
+    clusters: Clusters, extra_points: np.ndarray, extra_clusters: np.ndarray
+) -> Clusters:
+    """Clusters + the streamed overlap's extra assignments -> a Cover-style
+    Clusters list (same return convention as make_overlapping_with_centroids)."""
+    return [
+        np.concatenate([np.asarray(c, np.int32),
+                        extra_points[extra_clusters == b].astype(np.int32)])
+        for b, c in enumerate(clusters)
+    ]

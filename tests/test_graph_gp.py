@@ -153,3 +153,51 @@ class TestDeterminism:
         b = api.partition(pts, 4, "BalancedKMeans", seed=11)
         for ca, cb in zip(a, b):
             np.testing.assert_array_equal(ca, cb)
+
+
+def test_centroid_overlap_streamed_matches_exact_greedy():
+    """Single-chunk streamed overlap == exact global cheapest-first greedy
+    (overlapping_partitioning.cpp:190-216 semantics) under identical reps."""
+    from gpann_tpu.gp.overlap import (apply_extra_assignments,
+                                      centroid_overlap_streamed,
+                                      foreign_cluster_candidates)
+
+    rng = np.random.default_rng(7)
+    n, d, k = 2000, 8, 5
+    pts = rng.standard_normal((n, d)).astype(np.float32)
+    assign = rng.integers(0, k, size=n).astype(np.int32)
+    reps = rng.standard_normal((k * 4, d)).astype(np.float32)
+    rep_lbl = np.repeat(np.arange(k), 4).astype(np.int32)
+    cap = int(1.3 * n / k)
+    num_extra = 300
+
+    ep, ec = centroid_overlap_streamed(
+        pts, assign, reps, rep_lbl, k, cap, num_extra, keep=3)
+    assert len(ep) == num_extra
+    # every extra is foreign and capacity holds
+    assert (assign[ep] != ec).all()
+    sizes = np.bincount(assign, minlength=k) + np.bincount(ec, minlength=k)
+    assert (sizes <= cap).all()
+
+    # exact oracle: same candidates, strict global cheapest-first admission
+    od, oc = foreign_cluster_candidates(pts, assign, reps, rep_lbl, k, keep=3)
+    flat = sorted(
+        (od[p, j], p, oc[p, j]) for p in range(n) for j in range(od.shape[1])
+    )
+    sizes0 = np.bincount(assign, minlength=k).astype(int)
+    want = set()
+    left = num_extra
+    for dist, p, c in flat:
+        if left == 0:
+            break
+        if sizes0[c] < cap:
+            want.add((p, int(c)))
+            sizes0[c] += 1
+            left -= 1
+    got = set(zip(ep.tolist(), ec.tolist()))
+    assert got == want
+
+    cover = apply_extra_assignments(
+        [np.nonzero(assign == b)[0].astype(np.int32) for b in range(k)],
+        ep, ec)
+    assert sum(len(c) for c in cover) == n + num_extra
