@@ -171,7 +171,8 @@ def binmin_scan(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "num_candidate_bins", "interpret", "tq", "tc"),
+    static_argnames=("k", "metric", "num_candidate_bins", "interpret", "tq",
+                     "tc", "phase2"),
 )
 def fused_topk(
     qs: jnp.ndarray,
@@ -183,6 +184,7 @@ def fused_topk(
     interpret: bool = False,
     tq: int = 128,
     tc: int = 16384,
+    phase2: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k of each query in ``base`` via the bin-top-2 kernel.
 
@@ -209,7 +211,10 @@ def fused_topk(
     if mins.shape[0] != m:
         qs, mins, argmins = qs[:m], mins[:m], argmins[:m]
     nc = min(nc, mins.shape[1])
-    negb, bpos = jax.lax.top_k(-mins, nc)
+    if phase2 == "approx" and nc < mins.shape[1]:
+        negb, bpos = jax.lax.approx_max_k(-mins, nc, recall_target=0.95)
+    else:
+        negb, bpos = jax.lax.top_k(-mins, nc)
     cand_cols = jnp.take_along_axis(argmins, bpos, axis=1)
     cand = base[cand_cols]
     if metric == "mips":

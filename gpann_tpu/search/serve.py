@@ -37,7 +37,7 @@ from gpann_tpu.search.ivf import _exact_rescore, _round_up, _scan_k
 
 def _probe_rank(queries, router_points, router_labels, router_sq, *,
                 s, voting_t, rule, spann_eps, nprobes, metric, precision,
-                voting_impl):
+                voting_impl, router_n_valid=None, interpret=False):
     """Probe list [m, nprobes] under the reference's vote semantics.
 
     (min_dist, frequency) are folded over ONLY the top ``voting_t`` routing
@@ -46,8 +46,25 @@ def _probe_rank(queries, router_points, router_labels, router_sq, *,
     the dummy shard ``s`` (size 0, skipped by the scan).
     """
     m = queries.shape[0]
-    t = min(voting_t, router_points.shape[0])
-    if voting_impl == "rescore":
+    t = min(voting_t, router_points.shape[0]
+            if router_n_valid is None else router_n_valid)
+    if voting_impl == "binned":
+        # the scan kernel as the routing matmul: bf16 bin-top-2 candidate
+        # selection + exact f32 rescore of ~t candidates. Routing at HIGH
+        # precision measured ~36 ms/batch on a 40k-point router (3-pass
+        # bf16x3 matmul); the kernel runs the same pairs ~4x faster and the
+        # vote set only needs approximate MEMBERSHIP (the reference's vote
+        # set is approximate HNSW output) while vote ORDER comes from the
+        # exact rescore — same design point as the serving scan itself.
+        from gpann_tpu.search.pallas_scan import fused_topk
+
+        ndist, nidx = fused_topk(queries, router_points, router_n_valid, t,
+                                 metric=metric, interpret=interpret)
+        # bin-top-2 keeps <= 2 candidates per 128-column bin; if fewer than t
+        # finite candidates exist the tail is +inf with arbitrary indices —
+        # point those votes at the dummy shard s (OOB scatters are dropped)
+        nshard = jnp.where(jnp.isfinite(ndist), router_labels[nidx], s)
+    elif voting_impl == "rescore":
         # two-phase routing, same design as the serving scan: DEFAULT
         # (bf16) matmul is ~3x cheaper than the HIGH 3-pass and only has to
         # get a CANDIDATE set right; the t votes are then picked by exact
@@ -149,7 +166,10 @@ class ServingEngine:
         ``voting_impl``: "exact" = ``lax.top_k`` vote set; "approx" =
         ``lax.approx_max_k`` (TPU partial-reduction top-k) — faster routing
         with an approximate vote set, mirroring the reference's approximate
-        HNSW vote set (hnsw_router.h:106).
+        HNSW vote set (hnsw_router.h:106); "binned" = the Pallas bin-top-2
+        kernel as the routing matmul (bf16 candidate selection + exact f32
+        rescore) — the fastest option for large (>=20k-point) routers,
+        where the HIGH-precision routing matmul dominates the batch.
 
         ``scan_phase2``: candidate-bin selection after the binned kernel
         ("exact" `lax.top_k` / "approx" `lax.approx_max_k`); see
@@ -199,6 +219,14 @@ class ServingEngine:
         # sizes with a trailing 0 entry: dummy shard id == num_shards
         self.shard_sizes_ext = jnp.asarray(np.concatenate([sizes, [0]]))
         self.shard_ids = jnp.asarray(ids.reshape(-1))
+        self.router_n_valid = len(routing_points)
+        if voting_impl == "binned":
+            # the bin-top-2 kernel needs row counts padded to its base-tile
+            # granularity; zero rows are masked in-kernel via n_valid
+            rp = np.asarray(routing_points, np.float32)
+            r_pad = -(-len(rp) // 16384) * 16384
+            routing_points = np.zeros((r_pad, rp.shape[1]), np.float32)
+            routing_points[: len(rp)] = rp
         self.router_points = jnp.asarray(routing_points, jnp.float32)
         self.router_labels = jnp.asarray(routing_labels, jnp.int32)
         # exact f32 squared norms of the routing points (computed in f64 on
@@ -230,6 +258,7 @@ class ServingEngine:
 
         voting_impl = self.voting_impl
         scan_phase2 = self.scan_phase2
+        router_n_valid = self.router_n_valid
         dim_pad = self.dim_pad
 
         def pipeline(queries, shard_points, shard_sizes_ext, shard_ids,
@@ -240,7 +269,8 @@ class ServingEngine:
                 queries, router_points, router_labels, router_sq,
                 s=s, voting_t=voting_t, rule=rule, spann_eps=spann_eps,
                 nprobes=nprobes, metric=metric, precision=precision,
-                voting_impl=voting_impl,
+                voting_impl=voting_impl, router_n_valid=router_n_valid,
+                interpret=interpret,
             )
 
             # ---- group (static shapes) ----
@@ -411,13 +441,16 @@ class ServingEngine:
         s = self.num_shards
         metric, precision = self.metric, self.precision
         voting_impl = self.voting_impl
+        router_n_valid = self.router_n_valid
+        interpret = self.interpret
 
         def route(queries, router_points, router_labels, router_sq):
             return _probe_rank(
                 queries, router_points, router_labels, router_sq,
                 s=s, voting_t=voting_t, rule=rule, spann_eps=spann_eps,
                 nprobes=nprobes, metric=metric, precision=precision,
-                voting_impl=voting_impl,
+                voting_impl=voting_impl, router_n_valid=router_n_valid,
+                interpret=interpret,
             )
 
         return jax.jit(route)

@@ -123,6 +123,66 @@ def test_rescore_voting_matches_exact(setup):
     assert rec >= rec0 - 0.01, (rec, rec0)
 
 
+def test_binned_voting_matches_exact(setup):
+    """voting_impl='binned' (Pallas bin-top-2 routing matmul + exact f32
+    vote rescore) must produce near-identical probe lists to the exact HIGH
+    fold on a router large enough to populate many column bins."""
+    pts, q, gt_ids, gt_dists, clusters, router, engine = setup
+    rng = np.random.default_rng(13)
+    # 2048 routing points -> 16 bins of 128 after padding; bin-top-2 keeps
+    # up to 32 finite candidates, comfortably above voting_t=8
+    sample = rng.choice(len(pts), size=2048, replace=False)
+    assign = np.concatenate(
+        [np.full(len(c), b, np.int32) for b, c in enumerate(clusters)]
+    )
+    order = np.concatenate([np.asarray(c, np.int64) for c in clusters])
+    point_shard = np.empty(len(pts), np.int32)
+    point_shard[order] = assign
+    rpts, rlbl = pts[sample], point_shard[sample]
+    exact = ServingEngine(pts, clusters, rpts, rlbl, voting_impl="exact")
+    binned = ServingEngine(pts, clusters, rpts, rlbl, voting_impl="binned",
+                           interpret=True)
+    assert binned.router_n_valid == 2048
+    assert binned.router_points.shape[0] == 16384  # padded for the kernel
+    for rule in ("min_dist", "frequency"):
+        pe = exact.probe_order(q, 4, voting_t=8, rule=rule)
+        pb = binned.probe_order(q, 4, voting_t=8, rule=rule)
+        agree = (pe == pb).mean()
+        assert agree > 0.9, (rule, agree)
+    kth = kth_neighbor_distance(gt_dists, 10)
+    _, fi = binned.serve(q, k=10, nprobes=3, voting_t=8, query_block=32)
+    rec = recall_from_ids(pts, q, fi, kth, 10)
+    _, fi0 = exact.serve(q, k=10, nprobes=3, voting_t=8, query_block=32)
+    rec0 = recall_from_ids(pts, q, fi0, kth, 10)
+    assert rec >= rec0 - 0.02, (rec, rec0)
+
+
+def test_binned_voting_sparse_bins():
+    """Fewer finite bin candidates than voting_t: inf-tail votes must be
+    dropped (dummy shard), not counted as frequency votes for shard 0."""
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((1000, 8)).astype(np.float32)
+    q = rng.standard_normal((8, 8)).astype(np.float32)
+    base = [np.arange(0, 500, dtype=np.int32),
+            np.arange(500, 1000, dtype=np.int32)]
+    # 200 routing points -> 2 row bins -> only 4 finite candidates, below
+    # voting_t=8: the vote tail is +inf and must not pollute the fold
+    rsample = rng.choice(1000, size=200, replace=False)
+    rlbl = (rsample >= 500).astype(np.int32)
+    exact = ServingEngine(pts, base, pts[rsample], rlbl,
+                          voting_impl="exact")
+    binned = ServingEngine(pts, base, pts[rsample], rlbl,
+                           voting_impl="binned", interpret=True)
+    for rule in ("min_dist", "frequency"):
+        pb = binned.probe_order(q, 2, voting_t=8, rule=rule)
+        assert set(np.unique(pb)) <= {0, 1, 2}  # valid shards + dummy only
+        pe = exact.probe_order(q, 2, voting_t=8, rule=rule)
+        # the 4 surviving candidates usually include each shard's nearest
+        # routing point; first-probe agreement stays high
+        agree = (pe[:, 0] == pb[:, 0]).mean()
+        assert agree >= 0.75, (rule, agree)
+
+
 def test_serve_single_probe(setup):
     pts, q, gt_ids, gt_dists, clusters, router, engine = setup
     fd, fi = engine.serve(q, k=10, nprobes=1, voting_t=8, query_block=32)
