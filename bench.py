@@ -52,6 +52,12 @@ SEED = 555
 VOTING_T = 32  # GP routes are unambiguous; fewer votes, same recall (measured)
 RULE = "min_dist"
 QUERY_BLOCK = 128   # measured best on v5e with the single-call block kernel
+# A/B knobs for the serve pipeline (default = the measured-best committed
+# config); override per-run without editing the file:
+#   GPANN_BENCH_VOTING = exact | approx | rescore | binned
+#   GPANN_BENCH_PHASE2 = exact | approx   (candidate-bin top-k in the scan)
+VOTING_IMPL = os.environ.get("GPANN_BENCH_VOTING", "approx")
+SCAN_PHASE2 = os.environ.get("GPANN_BENCH_PHASE2", "exact")
 
 _T0 = time.time()
 
@@ -236,9 +242,9 @@ def main() -> int:
     # set is itself an approximate HNSW result (hnsw_router.h:106)
     engine = ServingEngine(
         pts, clusters, art["routing_points"], art["routing_labels"],
-        scan_mode="binned", voting_impl="approx",
+        scan_mode="binned", voting_impl=VOTING_IMPL, scan_phase2=SCAN_PHASE2,
     )
-    log("engine resident")
+    log(f"engine resident (voting={VOTING_IMPL} phase2={SCAN_PHASE2})")
 
     if "nprobes" not in art:
         curve = engine.recall_curve(q_dev, K, kth, voting_t=VOTING_T,
