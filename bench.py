@@ -57,7 +57,10 @@ QUERY_BLOCK = 128   # measured best on v5e with the single-call block kernel
 #   GPANN_BENCH_VOTING = exact | approx | rescore | binned
 #   GPANN_BENCH_PHASE2 = exact | approx   (candidate-bin top-k in the scan)
 VOTING_IMPL = os.environ.get("GPANN_BENCH_VOTING", "approx")
-SCAN_PHASE2 = os.environ.get("GPANN_BENCH_PHASE2", "exact")
+# phase2="approx" (lax.approx_max_k candidate-bin pick) measured +14-24% QPS
+# over "exact" at recall 0.9837 vs 0.9987 — both far above the 0.95 target;
+# mechanism + A/B grid in docs/PERF.md (round 5)
+SCAN_PHASE2 = os.environ.get("GPANN_BENCH_PHASE2", "approx")
 
 _T0 = time.time()
 
@@ -89,14 +92,24 @@ def main() -> int:
         num_blobs = 64
         centers = rng.standard_normal((num_blobs, D)).astype(np.float32) * 2.0
         lbl = rng.integers(0, num_blobs, size=N)
-        pts = (centers[lbl]
-               + 0.6 * rng.standard_normal((N, D))).astype(np.float32)
+        # chunked draws are bit-identical to one monolithic draw (Generator
+        # streams are strictly sequential) but avoid the 3x 6 GB float64
+        # temporaries whose page faults made the monolithic version ~10 min
+        # of 86%-system-time on this host — cold-start driver budget matters
+        # (round 4's driver bench timed out)
+        pts = np.lib.format.open_memmap(pts_cache, mode="w+",
+                                        dtype=np.float32, shape=(N, D))
+        for s in range(0, N, 1 << 20):
+            e = min(s + (1 << 20), N)
+            pts[s:e] = (centers[lbl[s:e]]
+                        + 0.6 * rng.standard_normal((e - s, D)))
+        pts.flush()
         q = (
             centers[rng.integers(0, num_blobs, size=NQ)]
             + 0.6 * rng.standard_normal((NQ, D))
         ).astype(np.float32)
-        np.save(pts_cache, pts)
         np.save(q_cache, q)
+        pts = np.load(pts_cache, mmap_mode="r")
         log(f"data generated + cached: {pts.shape}")
 
     # deterministic artifacts cached per config (SEED, N, D, NQ, SHARDS);
@@ -110,7 +123,27 @@ def main() -> int:
         if os.path.exists(old):
             o = dict(np.load(old))
             art = {k: o[k] for k in ("gt_ids", "gt_dists") if k in o}
-    dirty = False
+    if "assign" not in art:
+        # cold-start bootstrap: round 4's driver bench timed out (rc=124)
+        # because a host recycle wiped ~/.cache and the cold path recomputes
+        # GT (272 s) + GP partition (1,354 s) + router — ~45 min before any
+        # serving. The deterministic artifacts are small (9 MB compressed),
+        # so they ship IN the repo; a cold run rebuilds only the seeded data
+        # (~1 min) and the compile set. Same discipline as the reference's
+        # on-disk GT cache (run_query_attribution.cpp:46-55).
+        repo_art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "exp_artifacts", "bench_8m_gp_cache.npz")
+        if os.path.exists(repo_art):
+            r = dict(np.load(repo_art))
+            r["assign"] = r["assign"].astype(np.int32)
+            r["gt_ids"] = r["gt_ids"].astype(np.int64)
+            art = r
+            log("artifact cache bootstrapped from repo (exp_artifacts/)")
+            dirty = True  # persist to ~/.cache for the next (warm) run
+        else:
+            dirty = False
+    else:
+        dirty = False
 
     if "gt_ids" not in art:
         # GT via the pallas kernel + exact re-sort: recall@10 of the scan is

@@ -47,6 +47,15 @@ def log(msg):
 
 
 def main() -> int:
+    # host-only benchmark: never dial the chip (a stray probe during a
+    # serialized chip job can wedge the tunnel for an hour — CLAUDE.md). If
+    # the sitecustomize axon registration wasn't disabled via env, force the
+    # CPU platform in-process before any gpann_tpu/jax import.
+    if os.environ.get("PALLAS_AXON_POOL_IPS") is None:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from gpann_tpu.core.partition import partition_to_clusters
     from gpann_tpu.search.relayout import ShardMajorStore, relayout_to_store
 

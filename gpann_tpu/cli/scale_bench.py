@@ -139,7 +139,12 @@ def main(argv=None) -> int:
     from gpann_tpu.route import KMeansTreeRouter, KMeansTreeRouterOptions
     from gpann_tpu.search.streamed import StreamedShardEngine
 
-    cache = os.path.expanduser("~/.cache/gpann_tpu")
+    # GPANN_CACHE_DIR overrides the stage-artifact/store location (inherited
+    # by stage children): a 1B run should keep its 64 GB store + stage npzs
+    # on whatever path the operator considers durable — round 4 lost ~3 h of
+    # build to a host recycle that wiped ~/.cache mid-run (README §1B)
+    cache = os.environ.get("GPANN_CACHE_DIR") or os.path.expanduser(
+        "~/.cache/gpann_tpu")
     os.makedirs(cache, exist_ok=True)  # virtual bases never touch dataset_cached
     # data + GT caches are method-independent; partition/router are not
     dsuf = "" if args.dtype == "f32" else f"_{args.dtype}"

@@ -120,8 +120,23 @@ class ShardMajorStore:
         labels [ns])``. Sampling positions uniformly over the concatenation
         is uniform over points (the layout is a permutation)."""
         rng = np.random.default_rng(seed)
-        pos = np.sort(rng.choice(self.n, size=min(ns, self.n),
-                                 replace=False))
+        ns = min(ns, self.n)
+        if ns * 8 >= self.n:
+            pos = np.sort(rng.choice(self.n, size=ns, replace=False))
+        else:
+            # Generator.choice(replace=False) materializes a permutation of
+            # n (8 GB + minutes of Fisher-Yates at n=1B — the stage the
+            # round-4 1B run died in). Unique-of-uniform draws are an
+            # unbiased without-replacement sample by symmetry and cost
+            # O(ns); top up the rare collision shortfall, then thin the
+            # (sorted) surplus with a permutation of only ~1.03*ns.
+            pos = np.unique(rng.integers(0, self.n, size=int(ns * 1.03) + 64))
+            while len(pos) < ns:
+                extra = rng.integers(0, self.n, size=int(ns * 0.05) + 64)
+                pos = np.unique(np.concatenate([pos, extra]))
+            if len(pos) > ns:
+                pos = np.sort(pos[rng.choice(len(pos), size=ns,
+                                             replace=False)])
         sh = self.shard_of_positions(pos)
         rows = np.empty((len(pos), self.d),
                         np.float32 if widen else self.dtype)
