@@ -59,6 +59,19 @@ def main() -> int:
     cache = os.path.join(cache_dir, f"hardserve_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
     art = dict(np.load(cache)) if os.path.exists(cache) else {}
     dirty = False
+    if "assign" not in art and not os.environ.get("GPANN_SMOKE"):
+        # cold-start bootstrap from the repo-shipped compact artifact (same
+        # discipline as bench.py): GT + GP partition + router cost ~50 min
+        # to recompute on chip, and ~/.cache does not survive host recycles
+        repo_art = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "exp_artifacts", "hardserve_8m_cache.npz")
+        if os.path.exists(repo_art):
+            art = dict(np.load(repo_art))
+            art["assign"] = art["assign"].astype(np.int32)
+            art["gt_ids"] = art["gt_ids"].astype(np.int64)
+            dirty = True
+            log("artifact cache bootstrapped from repo (exp_artifacts/)")
 
     if "gt_ids" not in art:
         if os.environ.get("GPANN_SMOKE"):  # no pallas on the CPU backend

@@ -406,8 +406,6 @@ def main(argv=None) -> int:
         return 0
 
     if store is not None:
-        assert args.sub_nprobe == 0, \
-            "--sub-nprobe is a rows-layout knob (store is whole-shard)"
         engine = StreamedShardEngine(None, None, rp, rl,
                                      metric=args.metric,
                                      scan_mode=args.scan_mode, store=store)
@@ -418,7 +416,22 @@ def main(argv=None) -> int:
                                      scan_mode=args.scan_mode)
 
     sub_np = args.sub_nprobe if args.sub_nprobe > 0 else None
-    if sub_np is not None:
+    if sub_np is not None and store is not None:
+        # sub-cluster-major relayout of the store (one pass, idempotent;
+        # sidecar in the store dir is the cache)
+        t0 = time.time()
+        if engine.sub_slices is None:
+            engine.build_subclusters_store(target_sub_size=args.sub_size,
+                                           seed=args.seed, log=log)
+            _stamp(os.path.join(store_dir, "subclusters.npz"),
+                   time.time() - t0)
+            t_subc = time.time() - t0
+        else:
+            t_subc = _cached_time(os.path.join(store_dir, "subclusters.npz"))
+        n_sub = sum(len(c) for c in engine.sub_centroids)
+        log(f"sub-cluster-major store: {n_sub} sub-clusters across "
+            f"{args.shards} shards ({t_subc:.0f}s)")
+    elif sub_np is not None:
         sc_path = os.path.join(cache, f"{mtag}_subc{args.sub_size}.npz")
         t0 = time.time()
         if os.path.exists(sc_path):

@@ -36,6 +36,7 @@ from gpann_tpu.core.distances import Metric
 
 _META = "meta.json"
 _CKPT = "ckpt.json"
+_SUBS = "subclusters.npz"
 
 
 def _ids_dtype(n: int):
@@ -147,6 +148,53 @@ class ShardMajorStore:
 
     def concat_view(self) -> "ConcatView":
         return ConcatView(self)
+
+    # -- sub-cluster-major layout (in-shard pruning on the store) ----------
+    def permute_shard(self, b: int, order: np.ndarray) -> None:
+        """Rewrite shard ``b``'s row + id files in ``order`` (tmp + rename,
+        so a crash leaves the old files). Any within-shard permutation keeps
+        the store valid: the ids sidecar moves in lockstep, and original ids
+        (not positions) are what every cached artifact stores."""
+        order = np.asarray(order)
+        assert len(order) == self.sizes[b], (len(order), self.sizes[b])
+        rows = np.asarray(self.shard_rows(b))[order]
+        ids = np.asarray(self.shard_ids(b))[order]
+        for path, arr in ((_shard_path(self.path, b), rows),
+                          (_ids_path(self.path, b), ids)):
+            with open(path + ".tmp", "wb") as f:
+                f.write(np.ascontiguousarray(arr).tobytes())
+            os.replace(path + ".tmp", path)
+
+    def save_subclusters(self, offsets: List[np.ndarray],
+                         cents: List[np.ndarray]) -> None:
+        """Sidecar for a sub-cluster-major row order: per shard ``b``,
+        sub-cluster ``j`` spans LOCAL rows ``[offsets[b][j],
+        offsets[b][j+1])`` of the shard file; ``cents[b]`` are the
+        sub-centroids (f32). The two-level analog of the reference's
+        cluster offsets (inverted_index.h:20-41), one level down."""
+        optr = np.concatenate(
+            [[0], np.cumsum([len(o) for o in offsets])]).astype(np.int64)
+        np.savez(
+            os.path.join(self.path, _SUBS),
+            optr=optr,
+            off=(np.concatenate(offsets) if offsets
+                 else np.empty(0, np.int64)).astype(np.int64),
+            cents=(np.concatenate(cents) if cents
+                   else np.empty((0, self.d), np.float32)),
+            cptr=np.concatenate(
+                [[0], np.cumsum([len(c) for c in cents])]).astype(np.int64),
+        )
+
+    def load_subclusters(self):
+        """``(offsets, cents)`` lists per shard, or None if no sidecar."""
+        p = os.path.join(self.path, _SUBS)
+        if not os.path.exists(p):
+            return None
+        z = np.load(p)
+        optr, off, cents, cptr = z["optr"], z["off"], z["cents"], z["cptr"]
+        offsets = [off[optr[b]: optr[b + 1]] for b in range(self.num_shards)]
+        cent_l = [cents[cptr[b]: cptr[b + 1]] for b in range(self.num_shards)]
+        return offsets, cent_l
 
 
 class ConcatView:

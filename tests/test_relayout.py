@@ -179,3 +179,68 @@ def test_scale_bench_shard_major_virtual_cli(tmp_path, monkeypatch):
     assert len(rows) == 8
     assert float(rows[-1][8]) > 0.9   # full-probe recall ~1
     assert float(rows[0][9]) <= 1.05 + 1e-9  # balance cap
+
+
+def test_subcluster_major_store(tmp_path, rng):
+    """Sub-cluster-major relayout: the store stays a valid permutation, the
+    sidecar slices partition every shard, pruned search with t >= n_subs
+    equals whole-shard search, and real pruning keeps recall sane while
+    cutting uploaded bytes."""
+    from gpann_tpu.core.distances import topk_neighbors
+    from gpann_tpu.core.partition import partition_to_clusters
+    from gpann_tpu.search.streamed import StreamedShardEngine
+
+    pts = generate("hard", N, D, seed=11)
+    q = generate_queries("hard", 48, D, seed=11)
+    part = rng.integers(0, K_SHARDS, size=N)
+    store = relayout_to_store(pts, part, K_SHARDS, str(tmp_path / "st"))
+    rp = pts[::50].copy()
+    rl = part[::50].copy()
+
+    e = StreamedShardEngine(None, None, rp, rl, scan_mode="exact",
+                            store=store)
+    with pytest.raises(ValueError):  # no sidecar yet
+        e.search(q, 10, K_SHARDS, sub_nprobe=2)
+    e.build_subclusters_store(target_sub_size=100, train_sample=400, seed=1)
+
+    # store still a valid permutation of the base, grouped consistently
+    seen = np.zeros(N, bool)
+    for b in range(K_SHARDS):
+        ids = np.asarray(store.shard_ids(b)).astype(np.int64)
+        np.testing.assert_array_equal(np.asarray(store.shard_rows(b)),
+                                      pts[ids])
+        np.testing.assert_array_equal(part[ids], b)
+        seen[ids] = True
+        off = e.sub_slices[b]
+        assert off[0] == 0 and off[-1] == store.sizes[b]
+        assert (np.diff(off) > 0).all()
+        assert len(e.sub_centroids[b]) == len(off) - 1
+    assert seen.all()
+
+    # a reloaded engine picks the sidecar up automatically
+    e2 = StreamedShardEngine(None, None, rp, rl, scan_mode="exact",
+                             store=ShardMajorStore(str(tmp_path / "st")))
+    assert e2.sub_slices is not None
+
+    kth = np.asarray(topk_neighbors(q, pts, 10)[0][:, -1])
+    # t >= max n_subs -> no pruning: exact whole-shard parity
+    max_subs = max(len(c) for c in e.sub_centroids)
+    d_full, i_full, s_full = e2.search(q, 10, K_SHARDS)
+    d_all, i_all, s_all = e2.search(q, 10, K_SHARDS, sub_nprobe=max_subs)
+    np.testing.assert_allclose(d_full, d_all, rtol=1e-5)
+    np.testing.assert_array_equal(i_full, i_all)
+
+    # real pruning: the small-batch scenario (few queries per shard, so the
+    # chosen-sub-cluster union stays well below the shard) uploads fewer
+    # bytes; recall stays above a sane floor
+    qs = q[:6]
+    _, i_f6, s_f6 = e2.search(qs, 10, 2)
+    d_p, i_p, s_p = e2.search(qs, 10, 2, sub_nprobe=2)
+    assert s_p["bytes_uploaded"] < s_f6["bytes_uploaded"]
+    from gpann_tpu.eval import recall_from_ids
+    r_full = recall_from_ids(pts, q, i_full, kth, 10)
+    r_f6 = recall_from_ids(pts, qs, i_f6, kth[:6], 10)
+    r_p = recall_from_ids(pts, qs, i_p, kth[:6], 10)
+    assert r_full > 0.99
+    # pruning costs recall only relative to the same 2-probe run
+    assert r_p > 0.6 * r_f6
