@@ -1,4 +1,8 @@
 #!/bin/bash
+# HISTORICAL (round 4). Superseded by chip_queue_r5.sh, which fixes the
+# advisor findings against this script: epoch-deadline admission (the HHMM
+# comparison below breaks across midnight) and >=3600 s chip-job budgets
+# (2400 s timeouts here can kill a blocked-but-healthy chip job mid-transfer).
 # Round-4 (session b) serial chip queue. ONE chip job at a time
 # (docs/PERF.md: two processes touching the TPU at once correlates with
 # hour-long tunnel wedges). The machine restarted mid-round, so every
