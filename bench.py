@@ -61,6 +61,9 @@ VOTING_IMPL = os.environ.get("GPANN_BENCH_VOTING", "approx")
 # over "exact" at recall 0.9837 vs 0.9987 — both far above the 0.95 target;
 # mechanism + A/B grid in docs/PERF.md (round 5)
 SCAN_PHASE2 = os.environ.get("GPANN_BENCH_PHASE2", "approx")
+# candidate-bin count for the binned scan (0 = kernel default max(k, 16));
+# raising it recovers recall approx_max_k drops, at a larger rescore gather
+SCAN_NC = int(os.environ.get("GPANN_BENCH_NC", "0"))
 
 _T0 = time.time()
 
@@ -276,8 +279,10 @@ def main() -> int:
     engine = ServingEngine(
         pts, clusters, art["routing_points"], art["routing_labels"],
         scan_mode="binned", voting_impl=VOTING_IMPL, scan_phase2=SCAN_PHASE2,
+        scan_nc=SCAN_NC,
     )
-    log(f"engine resident (voting={VOTING_IMPL} phase2={SCAN_PHASE2})")
+    log(f"engine resident (voting={VOTING_IMPL} phase2={SCAN_PHASE2}"
+        f" nc={SCAN_NC})")
 
     if "nprobes" not in art:
         curve = engine.recall_curve(q_dev, K, kth, voting_t=VOTING_T,

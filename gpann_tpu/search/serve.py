@@ -158,6 +158,7 @@ class ServingEngine:
         interpret: bool = False,
         voting_impl: str = "exact",
         scan_phase2: str = "exact",
+        scan_nc: int = 0,
     ) -> None:
         """``scan_mode``: "exact" = XLA top_k over the full distance tile
         (exact in-shard top-k); "binned" = Pallas bin-top-2 kernel
@@ -174,6 +175,11 @@ class ServingEngine:
         ``scan_phase2``: candidate-bin selection after the binned kernel
         ("exact" `lax.top_k` / "approx" `lax.approx_max_k`); see
         :func:`gpann_tpu.search.pallas_scan.fused_topk_blocks`.
+
+        ``scan_nc``: candidate-bin count for the binned scan (0 = the
+        kernel default, max(k, 16)). Raising it recovers recall lost to
+        approx_max_k's dropped bins under ``scan_phase2="approx"`` at the
+        cost of a larger exact-rescore gather.
         """
         self.metric: Metric = metric
         self.precision = default_precision() if precision is None else precision
@@ -182,6 +188,7 @@ class ServingEngine:
         self.interpret = interpret
         self.voting_impl = voting_impl
         self.scan_phase2 = scan_phase2
+        self.scan_nc = int(scan_nc)
         self.num_shards = len(clusters)
         sizes = np.asarray([len(c) for c in clusters], np.int32)
         all_ids = (
@@ -258,6 +265,7 @@ class ServingEngine:
 
         voting_impl = self.voting_impl
         scan_phase2 = self.scan_phase2
+        scan_nc = self.scan_nc
         router_n_valid = self.router_n_valid
         dim_pad = self.dim_pad
 
@@ -337,7 +345,7 @@ class ServingEngine:
                 bd, lpos = fused_topk_blocks(
                     qrows, shard_points, row_off, sizes_blk, k, metric,
                     qb=qb, cap=cap, tq=tq_eff, interpret=interpret,
-                    phase2=scan_phase2,
+                    phase2=scan_phase2, num_candidate_bins=scan_nc,
                 )
                 row_off_rows = jnp.repeat(
                     row_off, qb, total_repeat_length=total

@@ -233,6 +233,17 @@ def test_serve_binned_mode_large_shards():
     _, fa = approx.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
     rec_a = recall_from_ids(pts, q, fa, kth, 10)
     assert rec_a > 0.97, rec_a
+    # scan_nc widens the candidate-bin pool past the max(k,16) default;
+    # recall must be monotone-ish (>= the narrow pool's envelope) and the
+    # knob must plumb through to the kernel without shape errors
+    wide = ServingEngine(
+        pts, clusters, np.asarray(router.points), router.labels_np,
+        scan_mode="binned", interpret=True, scan_phase2="approx",
+        scan_nc=32,
+    )
+    _, fw = wide.serve(q, k=10, nprobes=2, voting_t=2, query_block=16)
+    rec_w = recall_from_ids(pts, q, fw, kth, 10)
+    assert rec_w >= rec_a - 1e-9, (rec_w, rec_a)
 
 
 def test_serve_overlapping_dedup():
