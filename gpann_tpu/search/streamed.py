@@ -26,6 +26,7 @@ regardless of shard count.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import List, Optional, Tuple
 
@@ -84,6 +85,7 @@ class StreamedShardEngine:
         scan_mode: str = "binned",
         voting_impl: str = "exact",
         store=None,
+        interpret: bool = False,
     ) -> None:
         """``store``: a :class:`~gpann_tpu.search.relayout.ShardMajorStore`.
         When given, ``points``/``clusters`` may be None — each shard reads
@@ -96,6 +98,7 @@ class StreamedShardEngine:
         self.precision = default_precision() if precision is None else precision
         self.scan_mode = scan_mode
         self.voting_impl = voting_impl
+        self.interpret = interpret  # Pallas interpret mode (CPU tests)
         if store is not None:
             self.num_shards = store.num_shards
             self.clusters = None
@@ -332,11 +335,58 @@ class StreamedShardEngine:
         return np.concatenate(out, axis=0)
 
     # -- one shard scan --------------------------------------------------------
+    def _scan_row_limit(self) -> int:
+        """Max rows per device block (HBM guard). A 1B/64-shard run has
+        ~16.4M-row shards; one such u8 block costs raw (1 GB) + f32 widen
+        (4.2 GB) + lane-padded copy (8.4 GB) + bin temps (~2 GB) > 16 GB
+        v5e HBM — measured OOM at the round-5 1B curve. Shards above the
+        limit scan as consecutive row slices merged on host; 2^22 rows
+        peaks at ~4 GB (pad + widen + bin temps), leaving headroom for
+        XLA's rematerialized copies. Env GPANN_MAX_SCAN_ROWS overrides
+        (tests use a tiny value to exercise the sliced path on CPU)."""
+        tile = 16384 if self.scan_mode == "binned" else 512
+        raw = int(os.environ.get("GPANN_MAX_SCAN_ROWS", str(4 << 20)))
+        return max(-(-raw // tile) * tile, tile)
+
+    def _upload_rows(self, size: int, cap: Optional[int] = None) -> int:
+        """Rows that actually cross the tunnel for one shard scan (padded
+        block rows; the sliced path uploads full limit-sized blocks)."""
+        cap = self.capacity if cap is None else cap
+        limit = self._scan_row_limit()
+        if cap <= limit:
+            return cap
+        return -(-size // limit) * limit
+
     def _scan_shard(
         self, q_block: jnp.ndarray, shard_rows: np.ndarray, size: int, k: int,
         cap: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k of each (padded) query row within one shard block.
+        """Top-k of each (padded) query row within one shard, slicing
+        shards larger than the HBM row limit into consecutive blocks whose
+        per-block top-k merge on host (positions stay shard-local)."""
+        if cap is None:
+            cap = self.capacity
+        limit = self._scan_row_limit()
+        if cap <= limit:
+            return self._scan_block(q_block, shard_rows, size, k, cap)
+        parts_d, parts_p = [], []
+        for lo in range(0, size, limit):
+            hi = min(lo + limit, size)
+            d, p = self._scan_block(q_block, shard_rows[lo:hi], hi - lo, k,
+                                    limit)
+            parts_d.append(d)
+            parts_p.append(p.astype(np.int64) + lo)
+        dcat = np.concatenate(parts_d, axis=1)
+        pcat = np.concatenate(parts_p, axis=1)
+        sel = np.argsort(dcat, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(dcat, sel, axis=1),
+                np.take_along_axis(pcat, sel, axis=1))
+
+    def _scan_block(
+        self, q_block: jnp.ndarray, shard_rows: np.ndarray, size: int, k: int,
+        cap: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k of each (padded) query row within one device block.
 
         ``cap`` overrides the block capacity (power-of-two-bucketed by the
         pruned sub-cluster path so upload bytes track the pruned size, at
@@ -347,8 +397,6 @@ class StreamedShardEngine:
         buffer alive until deletion (measured: +0.55 GB RSS per 0.55 GB
         upload, never reclaimed by GC alone — a 100M-point pass leaked
         ~100 GB of host RAM and thrashed the page cache to death)."""
-        if cap is None:
-            cap = self.capacity
         # keep the source dtype: byte bases upload raw and widen on device
         blk = np.zeros((cap, shard_rows.shape[1]), shard_rows.dtype)
         blk[:size] = shard_rows
@@ -369,7 +417,8 @@ class StreamedShardEngine:
                 # byte blocks: uploaded raw, widened on device (tiny astype
                 # dispatch; fused_topk's Mosaic kernel wants f32)
                 bj = bj.astype(jnp.float32)
-            d, pos = fused_topk(q_block, bj, size, k, self.metric)
+            d, pos = fused_topk(q_block, bj, size, k, self.metric,
+                                interpret=self.interpret)
         else:
             # n_valid masks padding rows BEFORE top-k (zero-padding scores
             # |q|^2 (L2) / 1.0 (MIPS) and would displace real neighbors),
@@ -510,8 +559,9 @@ class StreamedShardEngine:
             stats["shards_scanned"] += 1
             # count the PADDED device block (what actually crosses the
             # tunnel): _scan_shard zero-pads rows to the cap-sized block
-            # (pow2-bucketed on the pruned path, up to ~2x the raw rows)
-            up_cap = cap_b if cap_b is not None else self.capacity
+            # (pow2-bucketed on the pruned path, up to ~2x the raw rows;
+            # limit-sized blocks when the shard scans sliced)
+            up_cap = self._upload_rows(len(members), cap_b)
             stats["bytes_uploaded"] += (
                 up_cap * rows.shape[1] * rows.dtype.itemsize + qb.nbytes)
             kk = min(k, len(members))

@@ -204,3 +204,59 @@ def test_synth_quantize_matches_formula():
     i = _quantize_chunk(x.copy(), "i8")
     np.testing.assert_array_equal(
         i, np.clip(np.round(x * U8_SCALE), -128, 127).astype(np.int8))
+
+
+def test_sliced_scan_matches_unsliced(setup, monkeypatch):
+    """HBM-guard regression (round 5): a 1B/64-shard curve pass OOMed the
+    chip because one ~16.4M-row shard block plus its f32 widen + lane-pad
+    copies exceeded HBM. Shards above GPANN_MAX_SCAN_ROWS now scan as
+    consecutive row slices merged on host — results must be identical to
+    the one-block scan (both exact and binned modes)."""
+    pts, q, clusters, rp, rl = setup
+    eng = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="exact")
+    monkeypatch.delenv("GPANN_MAX_SCAN_ROWS", raising=False)
+    d1, i1, s1 = eng.search(q, K, nprobes=3, voting_t=30)
+    assert eng._scan_row_limit() >= eng.capacity  # one block
+    # force every shard (~2.5k rows) through the sliced path
+    monkeypatch.setenv("GPANN_MAX_SCAN_ROWS", "1024")
+    assert eng._scan_row_limit() < eng.capacity
+    d2, i2, s2 = eng.search(q, K, nprobes=3, voting_t=30)
+    overlap = np.mean([
+        len(np.intersect1d(i1[r], i2[r])) for r in range(len(q))
+    ]) / K
+    assert overlap >= 0.99, overlap
+    np.testing.assert_allclose(np.sort(d1, axis=1)[:, : K - 1],
+                               np.sort(d2, axis=1)[:, : K - 1],
+                               rtol=1e-4, atol=1e-4)
+    # upload accounting reflects the limit-sized blocks
+    assert s2["bytes_uploaded"] >= s1["bytes_uploaded"] * 0.5
+    assert s2["shards_scanned"] == s1["shards_scanned"]
+
+
+def test_sliced_scan_binned_mode(monkeypatch):
+    """Binned-mode slicing (the exact config of the 1B OOM): shards larger
+    than one 16384-row Pallas tile slice at the tile-aligned limit and the
+    merged result matches the one-block binned scan."""
+    rng = np.random.default_rng(2)
+    n, d, s = 40_000, 16, 2
+    pts = (rng.standard_normal((n, d)) * 3).astype(np.float32)
+    assign = (np.arange(n) >= n // 2).astype(np.int32)  # 2 x 20k shards
+    clusters = partition_to_clusters(assign, s)
+    rsub = np.sort(rng.choice(n, 1000, replace=False))
+    rp, rl = pts[rsub], assign[rsub]
+    q = pts[rng.choice(n, 16, replace=False)] + 0.01
+    eng = StreamedShardEngine(pts, clusters, rp, rl, scan_mode="binned",
+                              interpret=True)
+    monkeypatch.delenv("GPANN_MAX_SCAN_ROWS", raising=False)
+    assert eng.capacity > 16384  # 20k-row shards: 2 tiles
+    d1, i1, _ = eng.search(q, K, nprobes=2, voting_t=30)
+    monkeypatch.setenv("GPANN_MAX_SCAN_ROWS", "16384")
+    assert eng._scan_row_limit() == 16384 < eng.capacity
+    d2, i2, _ = eng.search(q, K, nprobes=2, voting_t=30)
+    overlap = np.mean([
+        len(np.intersect1d(i1[r], i2[r])) for r in range(len(q))
+    ]) / K
+    assert overlap >= 0.99, overlap
+    np.testing.assert_allclose(np.sort(d1, axis=1)[:, : K - 1],
+                               np.sort(d2, axis=1)[:, : K - 1],
+                               rtol=1e-4, atol=1e-4)
