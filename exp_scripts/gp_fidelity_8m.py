@@ -141,7 +141,8 @@ def main() -> int:
         }
 
     os.makedirs("exp_outputs", exist_ok=True)
-    with open("exp_outputs/gp_fidelity_8m.csv", "w") as f:
+    suffix = "_smoke" if os.environ.get("GPANN_SMOKE") else ""
+    with open(f"exp_outputs/gp_fidelity_8m{suffix}.csv", "w") as f:
         f.write("method,nprobes,oracle_recall,routed_recall,balance,build_s\n")
         for r in rows:
             f.write(",".join(str(x) for x in r) + "\n")

@@ -178,7 +178,8 @@ def main() -> int:
         "total_seconds": round(time.time() - _T0, 1),
     }
     os.makedirs("exp_outputs", exist_ok=True)
-    with open("exp_outputs/hard_serve_8m.json", "w") as f:
+    suffix = "_smoke" if os.environ.get("GPANN_SMOKE") else ""
+    with open(f"exp_outputs/hard_serve_8m{suffix}.json", "w") as f:
         json.dump(out, f)
     print(json.dumps(out), flush=True)
     return 0

@@ -163,7 +163,8 @@ def main() -> int:
             f"(oracle {out[name]['oracle_probes_at_095']})")
 
     os.makedirs("exp_outputs", exist_ok=True)
-    with open("exp_outputs/mips_overlap_8m.json", "w") as f:
+    suffix = "_smoke" if os.environ.get("GPANN_SMOKE") else ""
+    with open(f"exp_outputs/mips_overlap_8m{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
     return 0

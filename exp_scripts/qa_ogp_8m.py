@@ -94,7 +94,8 @@ def main() -> int:
 
     from gpann_tpu.cli.query_attribution import main as qa_main
 
-    out_prefix = os.path.join("exp_outputs", "qa_ogp_8M_hard")
+    suffix = "_smoke" if os.environ.get("GPANN_SMOKE") else ""
+    out_prefix = os.path.join("exp_outputs", f"qa_ogp_8M_hard{suffix}")
     os.makedirs("exp_outputs", exist_ok=True)
     rc = qa_main([base_f, query_f, gt_f, str(K), clusters_f, str(SHARDS),
                   out_prefix, "OGP", "l2", budgets])

@@ -218,7 +218,8 @@ def main() -> int:
         results["serve_exact"]["ms_batch"] - results["route_only_ms"]
         - results["scan_phase2_exact_ms"], 2)
     os.makedirs("exp_outputs", exist_ok=True)
-    with open("exp_outputs/serve_tail_profile.json", "w") as f:
+    suffix = "_smoke" if SMOKE else ""
+    with open(f"exp_outputs/serve_tail_profile{suffix}.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results), flush=True)
     return 0
