@@ -72,7 +72,45 @@ def log(msg: str) -> None:
     print(f"# [{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _seed_compile_cache() -> None:
+    """Seed the persistent XLA compile cache from a repo-shipped tarball.
+
+    Round 4's driver bench timed out (BENCH_r04 rc=124) after a host recycle
+    wiped ~/.cache; round 5's cold rerun measured ~900 s of XLA compiles
+    (brute scan / engine / serve programs at 20-75 s each through the remote
+    compile helper). The deterministic bench programs' cache entries are
+    harvested from a real chip run into exp_artifacts/bench_jax_cache.tar.gz
+    (same shipping discipline as the artifact cache above); a cold run then
+    compiles nothing. Existing entries are never overwritten.
+    """
+    import tarfile
+
+    tgz = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "exp_artifacts", "bench_jax_cache.tar.gz")
+    if not os.path.exists(tgz):
+        return
+    dst = os.path.expanduser("~/.cache/gpann_tpu/jax_cache")
+    os.makedirs(dst, exist_ok=True)
+    try:
+        n = 0
+        with tarfile.open(tgz) as tf:
+            for mem in tf.getmembers():
+                if not mem.isfile():
+                    continue
+                out = os.path.join(dst, os.path.basename(mem.name))
+                if not os.path.exists(out):
+                    src = tf.extractfile(mem)
+                    with open(out, "wb") as f:
+                        f.write(src.read())
+                    n += 1
+        if n:
+            log(f"compile cache seeded from repo ({n} programs)")
+    except Exception as e:  # seeding is an optimization; never fail bench
+        log(f"compile cache seed skipped ({e})")
+
+
 def main() -> int:
+    _seed_compile_cache()
     import jax.numpy as jnp
 
     from gpann_tpu.core.partition import partition_to_clusters

@@ -46,7 +46,7 @@ def main(argv=None) -> int:
     ap.add_argument("--d", type=int, default=96)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--nq", type=int, default=1024)
-    ap.add_argument("--kind", default="hard", choices=("hard", "blobs"))
+    ap.add_argument("--kind", default="hard", choices=("hard", "hard2", "blobs"))
     ap.add_argument("--dtype", default="f32", choices=("f32", "u8", "i8"),
                     help="base storage dtype; byte bases are widened to f32 "
                          "chunk-by-chunk on the fly (points_io.cpp:114-124 "

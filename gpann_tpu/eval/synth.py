@@ -78,9 +78,122 @@ def make_params(kind: str, d: int, seed: int,
     if kind == "blobs":
         rng = np.random.default_rng(seed)
         return (rng.standard_normal((64, d)).astype(np.float32) * 2.0)
-    if kind == "hard":
+    if kind in ("hard", "hard2"):
         return _hard_params(d, num_clusters, num_super, seed)
     raise ValueError(f"unknown dataset kind {kind!r}")
+
+
+# --- "hard2": the counter-based fast generator ------------------------------
+# Same distribution family as "hard" (identical _hard_params mixture:
+# super-clustered anisotropic centers, chi2(6) heavy-tail scale mixture, 5%
+# uniform background) but generated from splitmix64 counter streams instead
+# of numpy Generator streams. Three properties "hard" lacks:
+#   1. ~10x faster via the native C++ kernel (native/src/synth_gen.cc) —
+#      numpy "hard" measured 8.9 s per 1M x 64 chunk on the single host
+#      core, pricing one full 1B generation pass at ~8,900 s (the critical
+#      path of the round-4/5 1B builds, VERDICT r4 weak #8);
+#   2. value at row r depends only on (seed, r): bit-identical under any
+#      chunking, so stages with different chunk sizes agree by construction;
+#   3. a pure-numpy implementation of the *identical* algorithm below serves
+#      as test oracle and no-toolchain fallback (same formulas, double
+#      precision; C++ is compiled -ffp-contract=off so both sides round
+#      alike — parity tested in tests/test_synth_hard2.py).
+
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+_H2_TMUL = 0xD1B54A32D192ED03
+_H2_SEEDX = 0x8000000000000001
+
+
+def _sm64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays (wrapping)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(_SM_C1)
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(_SM_C2)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_C3)
+        return z ^ (z >> np.uint64(31))
+
+
+def _norm_icdf(p: np.ndarray) -> np.ndarray:
+    """Acklam's inverse normal CDF (vectorized; |rel err| < 1.15e-9) —
+    mirrors synth_gen.cc::norm_icdf exactly."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    dd = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+    plow = 0.02425
+    q = p - 0.5
+    r = q * q
+    central = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+                + a[5]) * q
+               / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r
+                  + 1.0))
+    pt = np.minimum(p, 1.0 - p)
+    qt = np.sqrt(-2.0 * np.log(np.maximum(pt, 1e-300)))
+    tail = (((((c[0] * qt + c[1]) * qt + c[2]) * qt + c[3]) * qt + c[4]) * qt
+            + c[5]) / ((((dd[0] * qt + dd[1]) * qt + dd[2]) * qt + dd[3]) * qt
+                       + 1.0)
+    tail = np.where(p < 0.5, tail, -tail)
+    return np.where((p >= plow) & (p <= 1.0 - plow), central, tail)
+
+
+def _hard2_chunk_numpy(m: int, d: int, seed: int, row0: int,
+                       params) -> np.ndarray:
+    """Reference/fallback implementation of the hard2 stream (f32 output,
+    pre-quantization) — the algorithm contract synth_gen.cc implements."""
+    centers, scales, w = params
+    S = _sm64(np.uint64(seed) ^ np.uint64(_H2_SEEDX))
+    with np.errstate(over="ignore"):
+        r = np.uint64(row0) + np.arange(m, dtype=np.uint64)
+        rk = _sm64(S ^ (r * np.uint64(_SM_C1)))
+        t = np.arange(8 + d, dtype=np.uint64) * np.uint64(_H2_TMUL)
+        h = _sm64(rk[:, None] + t[None, :])
+    u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
+    cdf = np.cumsum(w.astype(np.float64))
+    lbl = np.searchsorted(cdf, u[:, 0], side="right")
+    np.clip(lbl, 0, len(w) - 1, out=lbl)
+    z6 = _norm_icdf(u[:, 1:7])
+    chi = np.maximum((z6 * z6).sum(axis=1) / 6.0, 1e-6)
+    s = 1.0 / np.sqrt(chi)
+    bg = u[:, 7] < 0.05
+    z = _norm_icdf(u[:, 8:])
+    vals = (z * s[:, None]) * scales[lbl].astype(np.float64) \
+        + centers[lbl].astype(np.float64)
+    vals = np.where(bg[:, None], -8.0 + 16.0 * u[:, 8:], vals)
+    return vals.astype(np.float32)
+
+
+def gen_chunk_typed(kind: str, m: int, d: int, seed: int, chunk_id: int,
+                    params, dtype: str = "f32",
+                    chunk_rows: int = 1 << 20) -> np.ndarray:
+    """Final-dtype chunk. For ``hard2`` the native kernel fuses generation
+    and quantization in one cache-friendly pass (numpy-oracle fallback when
+    no toolchain); other kinds go through the legacy numpy generators.
+    ``chunk_rows`` fixes hard2's global row offset (row0 = chunk_id *
+    chunk_rows) and must stay constant across the stages of one artifact —
+    every caller uses the 1<<20 default."""
+    if kind == "hard2":
+        centers, scales, w = params
+        row0 = chunk_id * chunk_rows
+        from gpann_tpu import native
+
+        cdf = np.cumsum(np.asarray(w, np.float64))
+        out = native.synth_hard2_chunk(seed, row0, m, d, centers, scales,
+                                       cdf, dtype, U8_SCALE)
+        if out is not None:
+            return out
+        return _quantize_chunk(
+            _hard2_chunk_numpy(m, d, seed, row0, params), dtype)
+    return _quantize_chunk(_gen_chunk(kind, m, d, seed, chunk_id, params),
+                           dtype)
 
 
 # Byte quantization for SIFT/SPACEV-style bases (the reference stores those
@@ -128,9 +241,8 @@ def generate(
         )
     for ci, s in enumerate(range(0, n, chunk_rows)):
         m = min(chunk_rows, n - s)
-        out[s : s + m] = _quantize_chunk(
-            _gen_chunk(kind, m, d, seed, ci, params), dtype
-        )
+        out[s : s + m] = gen_chunk_typed(kind, m, d, seed, ci, params,
+                                         dtype, chunk_rows)
     if out_path is not None:
         out.flush()
         return np.load(out_path, mmap_mode="r")
@@ -144,10 +256,8 @@ def generate_queries(kind: str, nq: int, d: int, seed: int = 555,
     quantized then widened to f32 — the domain the widened base lives in
     (big-ann byte datasets ship byte queries too)."""
     params = make_params(kind, d, seed)
-    q = _gen_chunk(kind, nq, d, seed, 0x7E57, params)
-    if dtype != "f32":
-        q = _quantize_chunk(q, dtype).astype(np.float32)
-    return q
+    q = gen_chunk_typed(kind, nq, d, seed, 0x7E57, params, dtype)
+    return q.astype(np.float32) if dtype != "f32" else q
 
 
 class VirtualPoints:
@@ -189,9 +299,9 @@ class VirtualPoints:
     def _chunk(self, ci: int) -> np.ndarray:
         if ci != self._cache_id:
             m = min(self.chunk_rows, self.n - ci * self.chunk_rows)
-            self._cache = _quantize_chunk(
-                _gen_chunk(self.kind, m, self.d, self.seed, ci, self.params),
-                self.dtype_name,
+            self._cache = gen_chunk_typed(
+                self.kind, m, self.d, self.seed, ci, self.params,
+                self.dtype_name, self.chunk_rows,
             )
             self._cache_id = ci
         return self._cache

@@ -22,15 +22,17 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libgpann_native.so")
-_SRC = os.path.join(_HERE, "src", "graph_ops.cc")
+_SRCS = [os.path.join(_HERE, "src", "graph_ops.cc"),
+         os.path.join(_HERE, "src", "synth_gen.cc")]
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB_PATH,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
+        "-std=c++17",
+        *_SRCS, "-o", _LIB_PATH,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -46,7 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("GPANN_TPU_NO_NATIVE"):
         return None
-    src_mtime = os.path.getmtime(_SRC)
+    src_mtime = max(os.path.getmtime(s) for s in _SRCS)
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
         if not _build():
             return None
@@ -58,6 +60,13 @@ def _load() -> Optional[ctypes.CDLL]:
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.synth_hard2_chunk.restype = None
+    lib.synth_hard2_chunk.argtypes = [
+        ctypes.c_uint64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, f32p, f32p, f64p, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_void_p,
+    ]
     lib.heavy_edge_matching.restype = ctypes.c_int64
     lib.heavy_edge_matching.argtypes = [
         ctypes.c_int64, i64p, i32p, f32p, f32p, ctypes.c_float,
@@ -113,6 +122,28 @@ def bfs_grow_partition(indptr, indices, node_w, k, cap, seed):
         int(k), float(cap), int(seed) & (2**64 - 1), part,
     )
     return part
+
+
+def synth_hard2_chunk(seed, row0, m, d, centers, scales, cdf, dtype,
+                      q_scale):
+    """[m, d] chunk of the 'hard2' dataset starting at global row ``row0``
+    (counter-based streams: chunking-independent). Returns None when the
+    native library is unavailable — eval/synth.py falls back to its numpy
+    oracle implementation of the identical algorithm."""
+    lib = _load()
+    if lib is None:
+        return None
+    np_dtype = {"f32": np.float32, "u8": np.uint8, "i8": np.int8}[dtype]
+    out = np.empty((m, d), np_dtype)
+    lib.synth_hard2_chunk(
+        int(seed) & (2**64 - 1), int(row0), int(m), int(d), len(cdf),
+        np.ascontiguousarray(centers, np.float32),
+        np.ascontiguousarray(scales, np.float32),
+        np.ascontiguousarray(cdf, np.float64),
+        {"f32": 0, "u8": 1, "i8": 2}[dtype], float(q_scale),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
 
 
 def force_balance(indptr, indices, weights, node_w, k, cap, part):
