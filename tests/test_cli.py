@@ -184,3 +184,40 @@ def test_scale_bench_mips_cli(tmp_path, monkeypatch):
     assert len(rows) == 8
     assert float(rows[-1][8]) > 0.95       # full probes ~exact under MIPS
     assert float(rows[0][9]) <= 1.05 + 1e-9
+
+
+def test_bench_compile_cache_seeding(tmp_path, monkeypatch):
+    """bench.py::_seed_compile_cache extracts the repo tarball into the
+    persistent cache dir without overwriting newer entries (the BENCH_r04
+    rc=124 fix: a driver cold start must not pay ~900 s of XLA compiles)."""
+    import tarfile
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    art_dir = tmp_path / "repo" / "exp_artifacts"
+    art_dir.mkdir(parents=True)
+    (tmp_path / "src").mkdir()
+    (tmp_path / "src" / "jit_a-123-cache").write_bytes(b"AAA")
+    (tmp_path / "src" / "jit_b-456-cache").write_bytes(b"BBB")
+    with tarfile.open(art_dir / "bench_jax_cache.tar.gz", "w:gz") as tf:
+        tf.add(tmp_path / "src" / "jit_a-123-cache", arcname="jit_a-123-cache")
+        tf.add(tmp_path / "src" / "jit_b-456-cache", arcname="jit_b-456-cache")
+
+    home = tmp_path / "home"
+    monkeypatch.setenv("HOME", str(home))
+    dst = home / ".cache" / "gpann_tpu" / "jax_cache"
+    dst.mkdir(parents=True)
+    (dst / "jit_a-123-cache").write_bytes(b"NEWER")  # must survive
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname",
+        lambda p, _real=os.path.dirname: str(tmp_path / "repo")
+        if p.endswith("bench.py") else _real(p))
+    bench._seed_compile_cache()
+    assert (dst / "jit_a-123-cache").read_bytes() == b"NEWER"
+    assert (dst / "jit_b-456-cache").read_bytes() == b"BBB"
