@@ -147,31 +147,29 @@ def test_streamed_engine_store_parity(tmp_path, rng):
     np.testing.assert_array_equal(i1, i2)
 
 
-def test_scale_bench_shard_major_virtual_cli(tmp_path, monkeypatch):
+@pytest.mark.parametrize("kind", ["hard", "hard2"])
+def test_scale_bench_shard_major_virtual_cli(tmp_path, monkeypatch, kind):
     """End-to-end 1B-choreography rehearsal at toy size: virtual base +
     fused assign/relayout (checkpointed into 3-chunk invocations) + store
-    GT + store-sampled router + contiguous curve pass."""
+    GT + store-sampled router + contiguous curve pass. Parametrized over
+    the numpy "hard" generator and the native counter-based "hard2" the
+    real 1B run uses (eval/synth.py)."""
     monkeypatch.setenv("HOME", str(tmp_path))
     from gpann_tpu.cli import scale_bench
 
-    out = tmp_path / "scale_sm.csv"
-    rc = scale_bench.main([
+    args = [
         "--n", "6000", "--d", "16", "--shards", "8", "--nq", "32",
+        "--kind", kind,
         "--dtype", "u8", "--method", "gp", "--gp-subsample", "2000",
         "--gp-aggregates", "64", "--train-sample", "2000",
         "--scan-mode", "exact", "--base", "virtual",
-        "--layout", "shard-major", "--assign-chunks", "3",
-        "--out", str(out)])
+        "--layout", "shard-major", "--assign-chunks", "3"]
+    out = tmp_path / "scale_sm.csv"
+    rc = scale_bench.main(args + ["--out", str(out)])
     assert rc == 0  # first call checkpoints incomplete partition
     calls = 1
     while rc == 0 and not out.exists():
-        rc = scale_bench.main([
-            "--n", "6000", "--d", "16", "--shards", "8", "--nq", "32",
-            "--dtype", "u8", "--method", "gp", "--gp-subsample", "2000",
-            "--gp-aggregates", "64", "--train-sample", "2000",
-            "--scan-mode", "exact", "--base", "virtual",
-            "--layout", "shard-major", "--assign-chunks", "3",
-            "--out", str(out)])
+        rc = scale_bench.main(args + ["--out", str(out)])
         calls += 1
         assert calls < 20
     lines = open(out).read().strip().split("\n")
