@@ -61,7 +61,9 @@ def main() -> int:
     cache_dir = os.path.expanduser("~/.cache/gpann_tpu")
     hs_cache = os.path.join(cache_dir,
                             f"hardserve_{SEED}_{N}_{D}_{NQ}_{SHARDS}.npz")
-    if not os.path.exists(hs_cache):
+    from _hardserve_cache import ensure_hardserve
+
+    if not ensure_hardserve(hs_cache):
         print("run exp_scripts/hard_serve_bench.py first", file=sys.stderr)
         return 1
     art = dict(np.load(hs_cache))
