@@ -42,8 +42,25 @@ run_job() { # name budget_s cmd...
   (( rc == 0 )) && touch "exp_outputs/${name}.done"
 }
 
+# Validation first (the round's #1 deliverable). The default cache dir is
+# moved aside, not deleted: the seeded-cold path is what's under test, but
+# programs the 1B run compiled stay available to later experiments.
 run_job bench_seeded_cold 3600 bash -c '
-  rm -rf ~/.cache/gpann_tpu/jax_cache && python bench.py'
+  J=~/.cache/gpann_tpu/jax_cache
+  mv "$J" "${J}_aside" 2>/dev/null
+  python bench.py; rc=$?
+  mkdir -p "$J"
+  if [ -d "${J}_aside" ]; then cp -n "${J}_aside"/* "$J"/ 2>/dev/null; fi
+  rm -rf "${J}_aside"; exit $rc'
+
+# Experiments next (unique results; each fits a late-night slot). The 250M
+# store jobs come LAST: the 1B curve already proves the shard-major store
+# at larger scale, so they are strictly bonus and are the right jobs for
+# the deadline to shave.
+run_job gp_fidelity_8m 5400 python exp_scripts/gp_fidelity_8m.py
+run_job serve_tail_profile 3600 python exp_scripts/serve_tail_profile.py
+run_job mips_overlap_8m 5400 python exp_scripts/mips_overlap_8m.py
+run_job qa_ogp_8m 5400 python exp_scripts/qa_ogp_8m.py
 
 run_job scale250m_store 9000 \
   python -m gpann_tpu.cli.scale_bench --n 250000000 --d 96 --shards 96 \
@@ -57,10 +74,5 @@ run_job scale250m_store_pruned 5400 \
     --layout shard-major --isolate-stages --nq 64 --sub-nprobe 4 \
     --sub-size 65536 --max-nprobes 8 \
     --out exp_outputs/scale250m_u8_gp_store_pruned_t4.csv
-
-run_job gp_fidelity_8m 5400 python exp_scripts/gp_fidelity_8m.py
-run_job mips_overlap_8m 5400 python exp_scripts/mips_overlap_8m.py
-run_job serve_tail_profile 3600 python exp_scripts/serve_tail_profile.py
-run_job qa_ogp_8m 5400 python exp_scripts/qa_ogp_8m.py
 
 note "r5g queue complete"
